@@ -1,0 +1,124 @@
+"""Unit tests for the normalized-convolution op: closed-form math, softplus
+reparameterization, initializers, and parity with the reference NConv2d
+formula (SURVEY.md §4 test strategy)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nconv_tpu import ops
+from nconv_tpu.ops.nconv import POS_FNS, softplus10_inverse
+
+RNG = np.random.default_rng(1)
+
+
+def rand(*shape):
+    return RNG.standard_normal(shape).astype(np.float32)
+
+
+def test_nconv_closed_form():
+    """out == conv(d*c)/(conv(c)+eps)+b ; cout == conv(c)/sum(w)."""
+    d = jnp.asarray(rand(1, 12, 12, 1))
+    c = jnp.asarray((RNG.random((1, 12, 12, 1)) > 0.5).astype(np.float32))
+    kernel = jnp.asarray(rand(5, 5, 1, 4))
+    bias = jnp.asarray(rand(4))
+
+    out, cout = ops.nconv2d(d, c, kernel, bias, padding=2, pos_fn="softplus")
+
+    w = POS_FNS["softplus"](kernel)
+    denom = ops.conv2d(c, w, padding=2)
+    nomin = ops.conv2d(d * c, w, padding=2)
+    expect = nomin / (denom + 1e-7) + bias.reshape(1, 1, 1, -1)
+    expect_c = denom / jnp.sum(w, axis=(0, 1, 2)).reshape(1, 1, 1, -1)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cout), np.asarray(expect_c), rtol=1e-5, atol=1e-6)
+
+
+def test_nconv_confidence_in_unit_interval():
+    """With binary input confidence and positive kernels, propagated
+    confidence is a weighted average of inputs, so it stays in [0, 1]."""
+    d = jnp.asarray(rand(2, 16, 16, 1))
+    c = jnp.asarray((RNG.random((2, 16, 16, 1)) > 0.7).astype(np.float32))
+    kernel = jnp.asarray(rand(5, 5, 1, 8))
+    _, cout = ops.nconv2d(d, c, kernel, padding=2, pos_fn="softplus")
+    assert float(jnp.min(cout)) >= 0.0
+    assert float(jnp.max(cout)) <= 1.0 + 1e-6
+
+
+def test_nconv_constant_signal_preserved():
+    """NConv of a constant signal with full confidence returns the constant
+    (plus bias): the normalization makes it an averaging filter."""
+    d = jnp.full((1, 10, 10, 1), 3.25, jnp.float32)
+    c = jnp.ones((1, 10, 10, 1), jnp.float32)
+    kernel = jnp.asarray(rand(3, 3, 1, 1))
+    out, cout = ops.nconv2d(d, c, kernel, padding=0, pos_fn="softplus")
+    # eps=1e-7 in the denominator biases the result by ~eps/sum(w)
+    np.testing.assert_allclose(np.asarray(out), 3.25, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(cout), 1.0, rtol=1e-5)
+
+
+def test_nconv_zero_confidence_gives_bias_only():
+    d = jnp.asarray(rand(1, 8, 8, 1))
+    c = jnp.zeros((1, 8, 8, 1), jnp.float32)
+    bias = jnp.asarray(np.full(2, 0.01, np.float32))
+    out, cout = ops.nconv2d(d, c, jnp.asarray(rand(3, 3, 1, 2)), bias, padding=1)
+    np.testing.assert_allclose(np.asarray(out), 0.01, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cout), 0.0, atol=1e-7)
+
+
+def test_softplus_beta10_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = rand(64)
+    ref = torch.nn.functional.softplus(torch.tensor(x), beta=10).numpy()
+    got = np.asarray(POS_FNS["softplus"](jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_softplus10_inverse_roundtrip():
+    y = np.concatenate([np.geomspace(1e-6, 50.0, 64), [0.01, 0.0693]]).astype(np.float32)
+    raw = softplus10_inverse(y)
+    back = np.asarray(POS_FNS["softplus"](jnp.asarray(raw)))
+    np.testing.assert_allclose(back, y, rtol=1e-4, atol=1e-6)
+
+
+def test_poisson_kernel_matches_reference_construction():
+    scipy_signal = pytest.importorskip("scipy.signal")
+    from scipy.stats import poisson
+
+    for k in (3, 5):
+        mu = k / 2
+        y = np.expand_dims(poisson(mu).pmf(np.arange(k)), 1)
+        ref = scipy_signal.convolve2d(y, y.transpose(), "full")
+        np.testing.assert_allclose(ops.poisson_kernel_pmf(k), ref, rtol=1e-12)
+
+
+def test_poisson_init_shape_and_range():
+    w = ops.poisson_init(jax.random.key(0), (5, 5, 2, 8))
+    assert w.shape == (5, 5, 2, 8)
+    base = ops.poisson_kernel_pmf(5)
+    assert float(jnp.min(w)) >= float(base.min())  # pmf + U[0,1) noise
+    assert float(jnp.max(w)) <= float(base.max()) + 1.0
+
+
+def test_softmax_pos_fn_normalizes_per_outchannel():
+    w = jnp.asarray(rand(3, 3, 2, 4))
+    s = POS_FNS["softmax"](w)
+    sums = jnp.sum(s, axis=(0, 1, 2))
+    np.testing.assert_allclose(np.asarray(sums), 1.0, rtol=1e-5)
+
+
+def test_nconv_gradients_flow():
+    """The reparameterized kernel must be differentiable end-to-end (the
+    reference's in-place hook breaks this; ours must not)."""
+    d = jnp.asarray(rand(1, 8, 8, 1))
+    c = jnp.ones_like(d)
+
+    def loss(kernel):
+        out, _ = ops.nconv2d(d, c, kernel, padding=1)
+        return jnp.mean(out**2)
+
+    g = jax.grad(loss)(jnp.asarray(rand(3, 3, 1, 2)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0

@@ -1,0 +1,113 @@
+"""Golden-value parity of NHWC primitives against torch CPU semantics.
+
+The reference is a torch stack; these tests pin our NHWC ops to the exact
+torch conventions the reference relies on (SURVEY.md §7 'hard parts')."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from nconv_tpu import ops  # noqa: E402
+
+RNG = np.random.default_rng(0)
+
+
+def nchw(x_nhwc):
+    return torch.tensor(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def to_nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+def rand(*shape):
+    return RNG.standard_normal(shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("stride,padding,k", [(1, 2, 5), (1, 1, 3), (2, 1, 3), (1, 0, 3), (1, 2, 1)])
+def test_conv2d_matches_torch(stride, padding, k):
+    x = rand(2, 16, 20, 3)
+    w_torch = rand(5, 3, k, k)  # (out, in, kh, kw)
+    b = rand(5)
+    ref = F.conv2d(nchw(x), torch.tensor(w_torch), torch.tensor(b), stride, padding)
+    got = ops.conv2d(
+        jnp.asarray(x),
+        ops.torch_conv_kernel_to_hwio(w_torch),
+        jnp.asarray(b),
+        stride=stride,
+        padding=padding,
+    )
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_conv_transpose2d_matches_torch():
+    # the decoder's 4x4 stride-2 pad-1 transpose conv (models/step2.py:205)
+    x = rand(2, 12, 14, 6)
+    w_torch = rand(6, 4, 4, 4)  # torch layout (in, out, kh, kw)
+    b = rand(4)
+    ref = F.conv_transpose2d(nchw(x), torch.tensor(w_torch), torch.tensor(b), stride=2, padding=1)
+    got = ops.conv_transpose2d(
+        jnp.asarray(x),
+        ops.torch_convtranspose_kernel_to_hwio(w_torch),
+        jnp.asarray(b),
+        stride=2,
+        padding=1,
+    )
+    assert got.shape == (2, 24, 28, 4)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_max_pool2d_matches_torch():
+    x = rand(2, 17, 21, 4)  # odd sizes: floor mode drops the remainder
+    ref = F.max_pool2d(nchw(x), 2, 2)
+    got = ops.max_pool2d(jnp.asarray(x), 2)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_max_pool_pair_matches_separate_pools():
+    x, c = rand(1, 16, 16, 8), rand(1, 16, 16, 8)
+    px, pc = ops.max_pool_pair(jnp.asarray(x), jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(px), np.asarray(ops.max_pool2d(jnp.asarray(x))))
+    np.testing.assert_allclose(np.asarray(pc), np.asarray(ops.max_pool2d(jnp.asarray(c))))
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((15, 20), (30, 40)), ((7, 9), (15, 20)), ((8, 8), (11, 13))])
+def test_resize_nearest_matches_torch(in_hw, out_hw):
+    x = rand(2, *in_hw, 3)
+    ref = F.interpolate(nchw(x), size=out_hw, mode="nearest")
+    got = ops.resize_nearest(jnp.asarray(x), out_hw)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("align", [True, False])
+@pytest.mark.parametrize("in_hw,out_hw", [((60, 80), (480, 640)), ((16, 24), (9, 13)), ((31, 17), (62, 34))])
+def test_resize_bilinear_matches_torch(align, in_hw, out_hw):
+    x = rand(2, *in_hw, 3)
+    ref = F.interpolate(nchw(x), size=out_hw, mode="bilinear", align_corners=align)
+    got = ops.resize_bilinear(jnp.asarray(x), out_hw, align_corners=align)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), rtol=1e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("factor", [2, 4, 8])
+def test_downscale_bilinear_matches_torch_scale_factor(factor):
+    # fuse stages downsample step-1 depth by 1/f with align_corners=True
+    # (models/step2.py:252,271)
+    x = rand(1, 480, 640, 1)
+    ref = F.interpolate(nchw(x), scale_factor=1 / factor, mode="bilinear", align_corners=True)
+    got = ops.downscale_bilinear(jnp.asarray(x), factor)
+    assert got.shape[1:3] == tuple(ref.shape[2:])
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_sobel_matches_torch_loss_convention():
+    x = rand(1, 32, 32, 1)
+    kx = torch.tensor([[[[1.0, 0, -1], [2, 0, -2], [1, 0, -1]]]])
+    ky = torch.tensor([[[[1.0, 2, 1], [0, 0, 0], [-1, -2, -1]]]])
+    ref_x = F.conv2d(nchw(x), kx, padding=1)
+    ref_y = F.conv2d(nchw(x), ky, padding=1)
+    gx, gy = ops.sobel_xy(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gx), to_nhwc(ref_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy), to_nhwc(ref_y), rtol=1e-5, atol=1e-5)
