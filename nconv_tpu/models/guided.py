@@ -1,0 +1,197 @@
+"""RGB-guided depth refinement network (step 2).
+
+TPU-native rebuild of ``SETP2_BP_TRAIN`` / ``SETP2_BP_EXPORT``
+(`/root/reference/models/step2.py:22-126`): a frozen step-1 unguided
+densifier feeding a 4-stage coarse-to-fine residual-refinement decoder
+guided by an RGB encoder pyramid.
+
+Design deltas vs the reference (deliberate, SURVEY.md §7):
+  * two input streams are batch-concatenated through shared weights — the
+    reference's (broken-as-committed) two-arg step-1 call is implemented as
+    the intended concat semantics;
+  * the export border zeroing (45 top/bottom rows, 20 left cols, in-place
+    slice assignment at `models/step2.py:122-124`) is a static mask multiply
+    — trace-safe and fusible;
+  * step-1 freezing uses ``stop_gradient`` on its output plus optimizer
+    param masking, instead of ``requires_grad=False``;
+  * the reference TRAIN variant's dead ``rgb_encoder4`` (41,152 params that
+    survive a double definition but are never called, `models/step2.py:46`)
+    is not reproduced: trainable params here are 978,336 vs the reference's
+    1,019,488 = 978,336 live + 41,152 dead. The checkpoint converter drops
+    those weights on load.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import downscale_bilinear
+from .layers import Basic2d, Basic2dTrans, Conv3x3Head, ConvBlock, RGBEncoder
+from .unguided import NConvUNet
+
+# Export-mode sensor border (reference models/step2.py:122-124).
+BORDER_TOP = 45
+BORDER_BOTTOM = 45
+BORDER_LEFT = 20
+
+
+def border_mask(h: int, w: int, dtype=jnp.float32) -> jax.Array:
+    """Static 0/1 mask zeroing the sensor border of the final depth."""
+    m = np.ones((1, h, w, 1), np.float32)
+    m[:, :BORDER_TOP] = 0.0
+    m[:, h - BORDER_BOTTOM :] = 0.0
+    m[:, :, :BORDER_LEFT] = 0.0
+    return jnp.asarray(m, dtype)
+
+
+class UpCat(nn.Module):
+    """Transpose-conv x2 upsample of [depth ‖ fusion-features], concat with
+    the skip RGB, conv (reference `models/step2.py:160-176`).
+
+    Channel order note: at the reference call site the previous *depth* lands
+    in the first slot of the 65-channel concat and the fusion features after
+    it (`models/step2.py:250` passes (rgb, prev_fusion, prev_depth) into a
+    forward whose parameter names are swapped) — preserved here for
+    checkpoint compatibility.
+    """
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, rgb_skip, fusion, depth, train: bool = False):
+        fout = Basic2dTrans(self.features, dtype=self.dtype, name="upf")(
+            jnp.concatenate([depth, fusion], -1), train
+        )
+        fout = Basic2d(self.features, dtype=self.dtype, name="conv")(
+            jnp.concatenate([fout, rgb_skip], -1), train
+        )
+        return fout
+
+
+class NewFusionBlock(nn.Module):
+    """RGB branch conv + depth branch conv, concat, 3 ConvBlocks
+    (reference `models/step2.py:216-236`)."""
+
+    rgb_channels: int
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, rgb, depth):
+        rgb_feat = ConvBlock(self.rgb_channels, dtype=self.dtype, name="rgb_conv")(rgb)
+        depth_feat = ConvBlock(self.rgb_channels, dtype=self.dtype, name="depth_conv")(depth)
+        fused = jnp.concatenate([rgb_feat, depth_feat], -1)
+        fused = ConvBlock(self.rgb_channels, dtype=self.dtype, name="fuse_conv1")(fused)
+        fused = ConvBlock(self.features, dtype=self.dtype, name="fuse_conv2")(fused)
+        fused = ConvBlock(self.features, dtype=self.dtype, name="fuse_conv3")(fused)
+        return fused
+
+
+class FusionResolution0(nn.Module):
+    """Coarsest fusion stage (reference `models/step2.py:262-278`)."""
+
+    features: int
+    downsample_factor: int = 8
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, rgb, dense_depth):
+        depth = downscale_bilinear(dense_depth, self.downsample_factor)
+        fout = NewFusionBlock(self.features, self.features, dtype=self.dtype, name="fuse")(
+            rgb, depth
+        )
+        res = Conv3x3Head(dtype=self.dtype, name="conv")(fout)
+        return fout, depth + res
+
+
+class FusionResolutionBlock(nn.Module):
+    """Per-scale refinement stage (reference `models/step2.py:238-259`)."""
+
+    in_channels: int
+    features: int
+    downsample_factor: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, rgb, dense_depth, prev_fusion, prev_depth, train: bool = False):
+        fout = UpCat(self.in_channels, dtype=self.dtype, name="upcat")(
+            rgb, prev_fusion, prev_depth, train
+        )
+        depth = downscale_bilinear(dense_depth, self.downsample_factor)
+        fout = NewFusionBlock(self.in_channels, self.features, dtype=self.dtype, name="fuse")(
+            fout, depth
+        )
+        res = Conv3x3Head(dtype=self.dtype, name="conv")(fout)
+        return fout, depth + res
+
+
+class GuidedDepthNet(nn.Module):
+    """The full two-stream guided network.
+
+    ``__call__(rgb0, depth0, rgb1, depth1, train=...)`` returns
+    ``(scales_stream0, scales_stream1)`` where each is the list of 4
+    multi-scale depths (coarse -> fine) — reference TRAIN contract
+    (`models/step2.py:77`). Use :meth:`export` for the deployment contract
+    (final scale only, border-masked — `models/step2.py:105-126`).
+
+    Inputs are NHWC: rgb ``(B, H, W, 3)``, depth ``(B, H, W, 1)``.
+    """
+
+    freeze_step1: bool = True
+    # 'softplus' for training; 'identity' for inference from converted
+    # reference checkpoints (reference eval applies no kernel transform).
+    step1_pos_fn: str = "softplus"
+    dtype: Any = None
+
+    def setup(self):
+        self.step1 = NConvUNet(pos_fn=self.step1_pos_fn, dtype=self.dtype)
+        # Effective encoder config — the reference defines the stack twice
+        # and the second block wins: 3->32 s1, 32->64 s2, 64->64 s2, 64->64 s2
+        # (models/step2.py:48-51; SURVEY.md §2.3).
+        self.rgb_encoder0 = RGBEncoder(32, 1, dtype=self.dtype)
+        self.rgb_encoder1 = RGBEncoder(64, 2, dtype=self.dtype)
+        self.rgb_encoder2 = RGBEncoder(64, 2, dtype=self.dtype)
+        self.rgb_encoder3 = RGBEncoder(64, 2, dtype=self.dtype)
+
+        self.fuse0 = FusionResolution0(64, 8, dtype=self.dtype)
+        self.fuse1 = FusionResolutionBlock(64, 64, 4, dtype=self.dtype)
+        self.fuse2 = FusionResolutionBlock(64, 32, 2, dtype=self.dtype)
+        self.fuse3 = FusionResolutionBlock(32, 32, 1, dtype=self.dtype)
+
+    def _backbone(self, rgb0, depth0, rgb1, depth1, train: bool):
+        depth = jnp.concatenate([depth0, depth1], axis=0)
+        dense, _ = self.step1(depth)
+        if self.freeze_step1:
+            dense = jax.lax.stop_gradient(dense)
+
+        rgb = jnp.concatenate([rgb0, rgb1], axis=0)
+        r0 = self.rgb_encoder0(rgb, train)   # H
+        r1 = self.rgb_encoder1(r0, train)    # H/2
+        r2 = self.rgb_encoder2(r1, train)    # H/4
+        r3 = self.rgb_encoder3(r2, train)    # H/8
+
+        f0, d0 = self.fuse0(r3, dense)
+        f1, d1 = self.fuse1(r2, dense, f0, d0, train)
+        f2, d2 = self.fuse2(r1, dense, f1, d1, train)
+        _, d3 = self.fuse3(r0, dense, f2, d2, train)
+        return d0, d1, d2, d3
+
+    def __call__(self, rgb0, depth0, rgb1, depth1, train: bool = False):
+        b = rgb0.shape[0]
+        d0, d1, d2, d3 = self._backbone(rgb0, depth0, rgb1, depth1, train)
+        stream0 = [d[:b] for d in (d0, d1, d2, d3)]
+        stream1 = [d[b:] for d in (d0, d1, d2, d3)]
+        return stream0, stream1
+
+    def export(self, rgb0, depth0, rgb1, depth1):
+        """Deployment forward: final-scale depth per stream, border-masked."""
+        b = rgb0.shape[0]
+        *_, d3 = self._backbone(rgb0, depth0, rgb1, depth1, train=False)
+        h, w = d3.shape[1:3]
+        d3 = d3 * border_mask(h, w, d3.dtype)
+        return d3[:b], d3[b:]

@@ -1,0 +1,196 @@
+"""Common NN building blocks (flax.linen, NHWC) for the guided network.
+
+Re-designs of the reference's torch blocks (`/root/reference/models/step2.py`)
+with torch-compatible initialization so training trajectories start from the
+same distribution. All modules take a ``train`` flag for BatchNorm and carry
+an optional compute ``dtype`` (bf16 inference mode).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import conv2d, conv_transpose2d
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)),
+    fan_in = kh*kw*cin (HWIO shape)."""
+    kh, kw, cin, _ = shape
+    bound = 1.0 / np.sqrt(kh * kw * cin)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """Plain conv (NHWC/HWIO) with torch-default init and explicit padding."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (k, k, cin, self.features)
+        )
+        bias = (
+            self.param("bias", torch_conv_bias_init(k * k * cin), (self.features,))
+            if self.use_bias
+            else None
+        )
+        dtype = self.dtype or x.dtype
+        return conv2d(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            None if bias is None else bias,
+            stride=self.stride,
+            padding=self.padding,
+        )
+
+
+class ConvTranspose(nn.Module):
+    """4x4 stride-2 pad-1 transpose conv (the decoder upsampler,
+    reference `models/step2.py:205`)."""
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (k, k, cin, self.features)
+        )
+        bias = (
+            self.param("bias", torch_conv_bias_init(k * k * cin), (self.features,))
+            if self.use_bias
+            else None
+        )
+        dtype = self.dtype or x.dtype
+        return conv_transpose2d(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            None if bias is None else bias,
+            stride=self.stride,
+            padding=self.padding,
+        )
+
+
+class BatchNorm(nn.Module):
+    """torch-default BatchNorm2d (eps=1e-5, momentum 0.1 -> EMA decay 0.9)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    """conv3x3(bias) + ReLU, no norm (reference `models/step2.py:290-297`)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.relu(Conv(self.features, dtype=self.dtype)(x))
+
+
+class Basic2d(nn.Module):
+    """conv3x3 [+BN] + ReLU; bias iff no norm (reference
+    `models/step2.py:178-195`)."""
+
+    features: int
+    use_norm: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.features, use_bias=not self.use_norm, dtype=self.dtype)(x)
+        if self.use_norm:
+            x = BatchNorm(dtype=self.dtype)(x, train)
+        return nn.relu(x)
+
+
+class Basic2dTrans(nn.Module):
+    """ConvTranspose 4x4 s2 p1 + BN + ReLU (reference
+    `models/step2.py:197-214`)."""
+
+    features: int
+    use_norm: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvTranspose(self.features, use_bias=not self.use_norm, dtype=self.dtype)(x)
+        if self.use_norm:
+            x = BatchNorm(dtype=self.dtype)(x, train)
+        return nn.relu(x)
+
+
+class RGBEncoder(nn.Module):
+    """Residual encoder stage: conv3x3(stride)+BN+ReLU plus a 1x1(stride)
+    shortcut, summed (reference `models/step2.py:134-154`)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = Conv(self.features, stride=self.stride, dtype=self.dtype)(x)
+        out = BatchNorm(dtype=self.dtype)(out, train)
+        out = nn.relu(out)
+        shortcut = Conv(
+            self.features,
+            kernel_size=1,
+            stride=self.stride,
+            padding=0,
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        return out + shortcut
+
+
+class Conv3x3Head(nn.Module):
+    """3x3 -> 1 channel, no bias: the per-scale residual-depth head.
+
+    The reference's ``Conv3x3(out_channel, 1)`` swallows its second argument
+    as ``stride`` and always emits one channel (`models/step2.py:156-158`);
+    this module makes that behaviour explicit.
+    """
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv(1, use_bias=False, dtype=self.dtype)(x)

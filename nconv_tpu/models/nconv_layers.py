@@ -1,0 +1,57 @@
+"""Flax module wrapping the normalized-convolution op.
+
+Reference: ``NConv2d`` (`/root/reference/models/step1.py:97-172`). Differences
+by design (SURVEY.md §2.1):
+  * non-negativity is a pure kernel reparameterization (``pos_fn`` applied in
+    apply), not an in-place weight mutation;
+  * the reference's constructed-but-unused BatchNorm/ReLU state is dropped
+    (its 130 dead trainable params across the DNET are why the reference
+    reports 10,259 step-1 params vs 10,129 live ones here);
+  * NHWC / HWIO layouts.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import nconv2d
+from ..ops.nconv import INIT_FNS
+
+
+class NConv2d(nn.Module):
+    """Normalized convolution layer with confidence propagation."""
+
+    features: int
+    kernel_size: int = 5
+    padding: int = 2
+    stride: int = 1
+    pos_fn: str = "softplus"
+    init_method: str = "p"  # 'p' Poisson, 'k' Kaiming, 'x' Xavier
+    bias_value: float = 0.01  # reference inits bias to 0.01 (step1.py:172)
+    eps: float = 1e-7
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, data, conf):
+        cin = data.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", INIT_FNS[self.init_method], (k, k, cin, self.features)
+        )
+        bias = self.param(
+            "bias", nn.initializers.constant(self.bias_value), (self.features,)
+        )
+        dtype = self.dtype or data.dtype
+        return nconv2d(
+            data.astype(dtype),
+            conf.astype(dtype),
+            kernel.astype(dtype),
+            bias.astype(dtype),
+            stride=self.stride,
+            padding=self.padding,
+            pos_fn=self.pos_fn,
+            eps=self.eps,
+        )

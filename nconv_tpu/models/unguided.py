@@ -1,0 +1,117 @@
+"""Unguided sparse-to-dense depth network (step 1).
+
+TPU-native rebuild of the reference ``DNET``/``SETP1_NCONV``
+(`/root/reference/models/step1.py:15-94`): a 3-level confidence-carrying
+encoder–decoder of normalized convolutions at 8 channels.
+
+Geometry note: the reference hardcodes its output crop to 480x640
+(`step1.py:94`). That crop exists because nconv6 runs 3x3/pad-0 (shrinks H,W
+by 2) and nconv7 is 1x1 accidentally built with pad=2 (grows by 4), netting
+H+2 x W+2; ``[1:H+1, 1:W+1]`` recovers the input size with a 1-px bias-only
+border. This implementation reproduces that arithmetic *generically*, so any
+resolution with H, W divisible by 8 works (NYU 480x640, KITTI 352x1216, ...).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import max_pool_pair, resize_nearest
+from .nconv_layers import NConv2d
+
+# Confidence seed threshold: c0 = (S > 0.01) (reference step1.py:53).
+CONF_THRESHOLD = 0.01
+
+
+class NConvUNet(nn.Module):
+    """Confidence-carrying NConv encoder–decoder (reference ``DNET``).
+
+    Input  ``(B, H, W, 1)`` sparse depth; H, W divisible by 8.
+    Output ``(dense_depth, confidence)`` both ``(B, H, W, 1)``.
+
+    The reference returns only the depth; confidence is returned here too
+    (callers that want reference behaviour just drop it).
+    """
+
+    num_channels: int = 8
+    pos_fn: str = "softplus"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, sparse):
+        c = self.num_channels
+        mk = lambda feats, ks, pad, init="p", name=None: NConv2d(
+            feats, ks, pad, pos_fn=self.pos_fn, init_method=init,
+            dtype=self.dtype, name=name,
+        )
+
+        x0 = sparse
+        c0 = (sparse > CONF_THRESHOLD).astype(sparse.dtype)
+
+        # Full-resolution encoder
+        x1, c1 = mk(c, 5, 2, name="nconv1")(x0, c0)
+        x1, c1 = mk(c, 5, 2, name="nconv2")(x1, c1)
+
+        # Downsample pyramid: joint max-pool then 5x5 nconv per level
+        x1_ds, c1_ds = max_pool_pair(x1, c1)
+        x2_ds, c2_ds = mk(c, 5, 2, name="nconv_down1")(x1_ds, c1_ds)
+
+        x2_dss, c2_dss = max_pool_pair(x2_ds, c2_ds)
+        x3_ds, c3_ds = mk(c, 5, 2, name="nconv_down2")(x2_dss, c2_dss)
+
+        x3_dss, c3_dss = max_pool_pair(x3_ds, c3_ds)
+        x4_ds, c4_ds = mk(c, 5, 2, name="nconv_down3")(x3_dss, c3_dss)
+
+        # Decoder: nearest upsample to the skip's size, concat (x, c) skips,
+        # 3x3 nconv (pads 1, 1, 0 — the pad-0 stage shrinks by 2)
+        size3 = x3_ds.shape[1:3]
+        x4 = resize_nearest(x4_ds, size3)
+        c4 = resize_nearest(c4_ds, size3)
+        x34, c34 = mk(c, 3, 1, name="nconv4")(
+            jnp.concatenate([x3_ds, x4], -1), jnp.concatenate([c3_ds, c4], -1)
+        )
+
+        size2 = x2_ds.shape[1:3]
+        x34u = resize_nearest(x34, size2)
+        c34u = resize_nearest(c34, size2)
+        x23, c23 = mk(c, 3, 1, name="nconv5")(
+            jnp.concatenate([x2_ds, x34u], -1), jnp.concatenate([c2_ds, c34u], -1)
+        )
+
+        size1 = x0.shape[1:3]
+        x23u = resize_nearest(x23, size1)
+        c23u = resize_nearest(c23, size1)
+        xout, cout = mk(c, 3, 0, name="nconv6")(
+            jnp.concatenate([x23u, x1], -1), jnp.concatenate([c23u, c1], -1)
+        )  # (H-2, W-2)
+
+        # Final 1x1 fusion with pad 2 (reference's accidental-but-load-bearing
+        # default padding, step1.py:49,98) -> (H+2, W+2)
+        xout, cout = mk(1, 1, 2, init="k", name="nconv7")(xout, cout)
+
+        # Center-recover the input size: [1:H+1, 1:W+1]
+        h, w = sparse.shape[1:3]
+        return xout[:, 1 : h + 1, 1 : w + 1, :], cout[:, 1 : h + 1, 1 : w + 1, :]
+
+
+class Step1Unguided(nn.Module):
+    """Thin wrapper mirroring reference ``SETP1_NCONV`` (step1.py:15-27),
+    with the *intended* two-stream semantics: multiple sparse-depth streams
+    are batch-concatenated through one shared network (SURVEY.md §0)."""
+
+    num_channels: int = 8
+    pos_fn: str = "softplus"
+    dtype: Any = None
+
+    def setup(self):
+        self.d_net = NConvUNet(self.num_channels, self.pos_fn, self.dtype)
+
+    def __call__(self, *depths):
+        if len(depths) == 1:
+            out, _ = self.d_net(depths[0])
+            return out
+        stacked = jnp.concatenate(depths, axis=0)
+        out, _ = self.d_net(stacked)
+        return out  # batch-stacked: stream i occupies rows [i*B:(i+1)*B]

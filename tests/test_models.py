@@ -1,0 +1,166 @@
+"""Model-level tests: shapes, parameter-count parity with the reference
+(SURVEY.md §2.2/§2.3 measured values), resolution generality, and basic
+numerical sanity."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nconv_tpu.models import GuidedDepthNet, NConvUNet, Step1Unguided
+
+# Reference measured counts (SURVEY.md §6). The reference's NConv2d carries a
+# constructed-but-never-used BatchNorm whose 130 trainable params inflate its
+# step-1 count (10,259); the live math uses 10,129 params.
+REF_STEP1_PARAMS_WITH_DEAD_BN = 10_259
+STEP1_PARAMS = 10_129
+DEAD_BN_PARAMS = 130
+# Reference export model: 988,595 incl. step1-with-dead-BN.
+GUIDED_TRAINABLE = 978_336  # = 988,595 - 10,259
+DEAD_ENCODER4_PARAMS = 41_152
+REF_TRAIN_TRAINABLE = 1_019_488  # = 978,336 + 41,152
+
+
+def n_params(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def small_depth():
+    rng = np.random.default_rng(0)
+    d = (rng.random((1, 48, 64, 1)) * (rng.random((1, 48, 64, 1)) < 0.1)).astype(
+        np.float32
+    )
+    return jnp.asarray(d)
+
+
+def test_unguided_param_count(small_depth):
+    model = NConvUNet()
+    variables = model.init(jax.random.key(0), small_depth)
+    got = n_params(variables["params"])
+    assert got == STEP1_PARAMS
+    assert got + DEAD_BN_PARAMS == REF_STEP1_PARAMS_WITH_DEAD_BN
+
+
+def test_unguided_output_shape_and_confidence(small_depth):
+    model = NConvUNet()
+    variables = model.init(jax.random.key(0), small_depth)
+    out, conf = model.apply(variables, small_depth)
+    assert out.shape == small_depth.shape
+    assert conf.shape == small_depth.shape
+    c = np.asarray(conf)
+    assert c.min() >= 0.0 and c.max() <= 1.0 + 1e-5
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("hw", [(48, 64), (32, 96), (40, 152)])
+def test_unguided_resolution_generic(hw):
+    """The reference hardcodes 480x640 (step1.py:94); ours must handle any
+    H, W divisible by 8 (KITTI 352x1216 etc. — tested small for speed)."""
+    d = jnp.zeros((1, *hw, 1), jnp.float32).at[0, 5, 5, 0].set(2.0)
+    model = NConvUNet()
+    variables = model.init(jax.random.key(0), d)
+    out, _ = model.apply(variables, d)
+    assert out.shape == (1, *hw, 1)
+
+
+def test_step1_two_stream_batch_concat():
+    """Two-stream call = batch concat through shared weights (the intended
+    semantics of the reference's broken two-arg call, SURVEY.md §0)."""
+    rng = np.random.default_rng(1)
+    d0 = jnp.asarray(rng.random((1, 48, 64, 1)).astype(np.float32))
+    d1 = jnp.asarray(rng.random((1, 48, 64, 1)).astype(np.float32))
+    model = Step1Unguided()
+    variables = model.init(jax.random.key(0), d0, d1)
+    both = model.apply(variables, d0, d1)
+    assert both.shape == (2, 48, 64, 1)
+    solo0 = model.apply(variables, d0)
+    np.testing.assert_allclose(np.asarray(both[0:1]), np.asarray(solo0), rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def guided_inputs():
+    rng = np.random.default_rng(2)
+    rgb = jnp.asarray(rng.random((1, 48, 64, 3)).astype(np.float32))
+    d = jnp.asarray(
+        (rng.random((1, 48, 64, 1)) * (rng.random((1, 48, 64, 1)) < 0.1)).astype(
+            np.float32
+        )
+    )
+    return rgb, d
+
+
+def test_guided_param_count(guided_inputs):
+    rgb, d = guided_inputs
+    model = GuidedDepthNet()
+    variables = model.init(jax.random.key(0), rgb, d, rgb, d)
+    step1 = n_params(variables["params"]["step1"])
+    rest = n_params(variables["params"]) - step1
+    assert step1 == STEP1_PARAMS
+    assert rest == GUIDED_TRAINABLE
+
+
+def test_reference_param_accounting():
+    """Document the exact relationship to the reference's published counts:
+    its TRAIN trainable total is our live count plus a dead encoder."""
+    assert GUIDED_TRAINABLE + DEAD_ENCODER4_PARAMS == REF_TRAIN_TRAINABLE
+    assert STEP1_PARAMS + DEAD_BN_PARAMS == REF_STEP1_PARAMS_WITH_DEAD_BN
+
+
+def test_guided_multiscale_shapes(guided_inputs):
+    rgb, d = guided_inputs
+    model = GuidedDepthNet()
+    variables = model.init(jax.random.key(0), rgb, d, rgb, d)
+    s0, s1 = model.apply(variables, rgb, d, rgb, d)
+    h, w = 48, 64
+    expect = [(1, h // 8, w // 8, 1), (1, h // 4, w // 4, 1), (1, h // 2, w // 2, 1), (1, h, w, 1)]
+    assert [tuple(x.shape) for x in s0] == expect
+    assert [tuple(x.shape) for x in s1] == expect
+
+
+def test_guided_export_border_zeroed():
+    rng = np.random.default_rng(3)
+    h, w = 96, 128  # border is 45/45/20 — needs h > 90
+    rgb = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32))
+    d = jnp.asarray(rng.random((1, h, w, 1)).astype(np.float32))
+    model = GuidedDepthNet()
+    variables = model.init(jax.random.key(0), rgb, d, rgb, d)
+    out0, out1 = model.apply(variables, rgb, d, rgb, d, method=GuidedDepthNet.export)
+    for out in (out0, out1):
+        a = np.asarray(out)
+        assert a.shape == (1, h, w, 1)
+        assert (a[:, :45] == 0).all()
+        assert (a[:, -45:] == 0).all()
+        assert (a[:, :, :20] == 0).all()
+        assert np.abs(a[:, 45:-45, 20:]).max() > 0
+
+
+def test_guided_train_mode_updates_batch_stats(guided_inputs):
+    rgb, d = guided_inputs
+    model = GuidedDepthNet()
+    variables = model.init(jax.random.key(0), rgb, d, rgb, d)
+    _, mutated = model.apply(
+        variables, rgb, d, rgb, d, True, mutable=["batch_stats"]
+    )
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new))
+
+
+def test_guided_step1_frozen_gradients(guided_inputs):
+    """stop_gradient on the step-1 output: grads w.r.t. step1 params are 0."""
+    rgb, d = guided_inputs
+    model = GuidedDepthNet()
+    variables = model.init(jax.random.key(0), rgb, d, rgb, d)
+
+    def loss_fn(params):
+        s0, s1 = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, rgb, d, rgb, d
+        )
+        return sum(jnp.mean(x**2) for x in s0 + s1)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    step1_grads = jax.tree.leaves(grads["step1"])
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in step1_grads)
+    other = [v for k, v in grads.items() if k != "step1"]
+    assert any(float(jnp.abs(g).max()) > 0 for g in jax.tree.leaves(other))

@@ -1,0 +1,148 @@
+"""End-to-end inference parity vs the actual reference PyTorch modules.
+
+The BASELINE.md accuracy target is depth RMSE < 1e-3 *relative* vs the
+reference. These tests instantiate the reference models on CPU with their
+random init, convert the state dicts with nconv_tpu.compat, and compare
+full forward passes. They skip if /root/reference isn't mounted.
+
+Notes on reference quirks handled here (SURVEY.md §0, §2.2):
+  * the reference's step-1 output crop is hardcoded to 480x640
+    (`models/step1.py:94`), so exact-shape parity holds only there; at other
+    sizes the reference emits one extra (bias-only) row/col, and the
+    comparison truncates it;
+  * the reference's two-arg ``step1(depth0, depth1)`` call raises TypeError
+    as committed; tests monkey-patch in the intended batch-concat semantics.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from nconv_tpu.compat import (  # noqa: E402
+    convert_guided_state_dict,
+    convert_unguided_state_dict,
+)
+from nconv_tpu.models import GuidedDepthNet, NConvUNet  # noqa: E402
+from reference_loader import load_reference  # noqa: E402
+
+ref = load_reference()
+pytestmark = pytest.mark.skipif(ref is None, reason="reference repo not available")
+
+
+def rel_rmse(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(b**2)) + 1e-12)
+
+
+def make_sparse_depth(rng, b, h, w):
+    d = rng.random((b, 1, h, w)).astype(np.float32) * 5.0
+    mask = rng.random((b, 1, h, w)) < 0.05
+    return (d * mask).astype(np.float32)
+
+
+def nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def from_nhwc(x):
+    return np.transpose(np.asarray(x), (0, 3, 1, 2))
+
+
+def patch_two_stream(model_t):
+    """Give the reference step-1 the intended batch-concat two-arg forward."""
+    inner = model_t.step1.d_net
+
+    def fixed(d0, d1):
+        return inner(torch.cat([d0, d1], dim=0))
+
+    model_t.step1.forward = fixed
+    return model_t
+
+
+def test_unguided_forward_parity_full_resolution():
+    ref_step1, _ = ref
+    torch.manual_seed(0)
+    model_t = ref_step1.SETP1_NCONV().eval()
+
+    rng = np.random.default_rng(0)
+    d_nchw = make_sparse_depth(rng, 1, 480, 640)
+    with torch.no_grad():
+        out_t = np.asarray(model_t(torch.tensor(d_nchw)))
+
+    variables = convert_unguided_state_dict(model_t.state_dict())
+    model_j = NConvUNet(pos_fn="identity")
+    out_j, _ = model_j.apply(variables, nhwc(d_nchw))
+
+    assert out_t.shape == (1, 1, 480, 640)
+    assert rel_rmse(from_nhwc(out_j), out_t) < 1e-5
+
+
+def test_unguided_forward_parity_small_size_truncated():
+    """At non-480x640 sizes the reference over-crops by one row/col; our
+    generic geometry matches its interior exactly."""
+    ref_step1, _ = ref
+    torch.manual_seed(3)
+    model_t = ref_step1.SETP1_NCONV().eval()
+    h, w = 96, 128
+    rng = np.random.default_rng(3)
+    d_nchw = make_sparse_depth(rng, 1, h, w)
+    with torch.no_grad():
+        out_t = np.asarray(model_t(torch.tensor(d_nchw)))
+    assert out_t.shape == (1, 1, h + 1, w + 1)  # the reference's extra border
+
+    variables = convert_unguided_state_dict(model_t.state_dict())
+    out_j, _ = NConvUNet(pos_fn="identity").apply(variables, nhwc(d_nchw))
+    assert rel_rmse(from_nhwc(out_j), out_t[:, :, :h, :w]) < 1e-5
+
+
+def test_guided_export_forward_parity_full_resolution():
+    _, ref_step2 = ref
+    torch.manual_seed(1)
+    model_t = patch_two_stream(ref_step2.SETP2_BP_EXPORT().eval())
+
+    h, w = 480, 640
+    rng = np.random.default_rng(1)
+    rgb0 = rng.random((1, 3, h, w)).astype(np.float32) * 255
+    rgb1 = rng.random((1, 3, h, w)).astype(np.float32) * 255
+    d0 = make_sparse_depth(rng, 1, h, w)
+    d1 = make_sparse_depth(rng, 1, h, w)
+    with torch.no_grad():
+        out0_t, out1_t = model_t(
+            torch.tensor(rgb0), torch.tensor(d0), torch.tensor(rgb1), torch.tensor(d1)
+        )
+
+    variables = convert_guided_state_dict(model_t.state_dict())
+    model_j = GuidedDepthNet(step1_pos_fn="identity")
+    out0_j, out1_j = model_j.apply(
+        variables, nhwc(rgb0), nhwc(d0), nhwc(rgb1), nhwc(d1),
+        method=GuidedDepthNet.export,
+    )
+
+    assert rel_rmse(from_nhwc(out0_j), np.asarray(out0_t)) < 1e-4
+    assert rel_rmse(from_nhwc(out1_j), np.asarray(out1_t)) < 1e-4
+
+
+def test_guided_two_streams_differ_and_share_weights():
+    """Distinct inputs per stream give distinct outputs; identical inputs
+    give identical outputs (shared weights, batch-concat semantics)."""
+    _, ref_step2 = ref
+    torch.manual_seed(2)
+    model_t = patch_two_stream(ref_step2.SETP2_BP_EXPORT().eval())
+    variables = convert_guided_state_dict(model_t.state_dict())
+    model_j = GuidedDepthNet(step1_pos_fn="identity")
+
+    h, w = 96, 128
+    rng = np.random.default_rng(2)
+    rgb_a = nhwc(rng.random((1, 3, h, w)).astype(np.float32))
+    rgb_b = nhwc(rng.random((1, 3, h, w)).astype(np.float32))
+    d_a = nhwc(make_sparse_depth(rng, 1, h, w))
+    d_b = nhwc(make_sparse_depth(rng, 1, h, w))
+
+    s0, s1 = model_j.apply(variables, rgb_a, d_a, rgb_a, d_a)
+    for a, b in zip(s0, s1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    s0, s1 = model_j.apply(variables, rgb_a, d_a, rgb_b, d_b)
+    assert rel_rmse(np.asarray(s0[-1]), np.asarray(s1[-1])) > 1e-3
