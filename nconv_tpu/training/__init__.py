@@ -1,0 +1,35 @@
+"""Training harness: configs, optimizers/schedules, checkpointing, loops."""
+from .checkpoint import CheckpointManager, load_best, save_best
+from .config import GridSearchConfig, OptimizerConfig, SchedulerConfig, TrainConfig
+from .optim import (
+    ConstantScheduler,
+    LinearScheduler,
+    PlateauScheduler,
+    build_optimizer,
+    build_scheduler,
+    get_learning_rate,
+    set_learning_rate,
+)
+from .trainer import FitResult, GuidedTask, Trainer, UnguidedTask, grid_search
+
+__all__ = [
+    "CheckpointManager",
+    "load_best",
+    "save_best",
+    "GridSearchConfig",
+    "OptimizerConfig",
+    "SchedulerConfig",
+    "TrainConfig",
+    "ConstantScheduler",
+    "LinearScheduler",
+    "PlateauScheduler",
+    "build_optimizer",
+    "build_scheduler",
+    "get_learning_rate",
+    "set_learning_rate",
+    "FitResult",
+    "GuidedTask",
+    "Trainer",
+    "UnguidedTask",
+    "grid_search",
+]

@@ -1,0 +1,349 @@
+"""Training harness: jitted SPMD train/eval steps + host-side control loop.
+
+Rebuilds the reference's script-level training
+(`/root/reference/train_step1.py:24-125`, `train_step2.py`) as a reusable
+library with the survey-mandated fixes (SURVEY.md §7): eval-mode validation
+(the reference's step-2 validation ran BN in train mode and built grads,
+`utils.py:74-93`), per-epoch checkpointing with resume, a real config layer,
+and data parallelism via mesh sharding instead of ``nn.DataParallel``.
+"""
+from __future__ import annotations
+
+import copy
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses import depth_loss, multi_resolution_loss
+from ..models import GuidedDepthNet, NConvUNet
+from ..parallel import make_mesh, replicate, shard_batch
+from .checkpoint import CheckpointManager
+from .config import TrainConfig
+from .optim import build_optimizer, build_scheduler, set_learning_rate
+
+
+# ---------------------------------------------------------------------------
+# Tasks: bind a model to its loss contract
+# ---------------------------------------------------------------------------
+
+class UnguidedTask:
+    """Step-1 training: sparse depth -> dense depth, masked loss vs GT
+    (reference train_step1.py:61-63)."""
+
+    name = "unguided"
+    has_batch_stats = False
+
+    def __init__(self, model: NConvUNet | None = None):
+        self.model = model or NConvUNet()
+
+    def init_variables(self, rng, batch):
+        return self.model.init(rng, jnp.asarray(batch["depth"]))
+
+    def frozen_label_fn(self):
+        return None
+
+    def loss(self, variables, batch, *, train: bool, cfg: TrainConfig):
+        pred, _ = self.model.apply(variables, batch["depth"])
+        loss = depth_loss(
+            pred, batch["gt"], use_gradient_loss=cfg.use_gradient_loss
+        )
+        return loss, {}
+
+    def predict(self, variables, batch):
+        pred, conf = self.model.apply(variables, batch["depth"])
+        return pred
+
+
+class GuidedTask:
+    """Step-2 training: RGB + sparse depth -> multi-scale refined depth,
+    frozen step-1, multi-resolution loss (reference train_step2.py:62-64).
+
+    The reference feeds the *same* (rgb, depth) to both streams during
+    training (`train_step2.py:62`); reproduced here.
+    """
+
+    name = "guided"
+    has_batch_stats = True
+
+    def __init__(
+        self,
+        model: GuidedDepthNet | None = None,
+        step1_variables: dict | None = None,
+    ):
+        self.model = model or GuidedDepthNet()
+        self.step1_variables = step1_variables
+
+    def init_variables(self, rng, batch):
+        rgb = jnp.asarray(batch["rgb"])
+        d = jnp.asarray(batch["depth"])
+        variables = self.model.init(rng, rgb, d, rgb, d)
+        if self.step1_variables is not None:
+            # the reference ctor loads the step-1 checkpoint into the frozen
+            # submodule (models/step2.py:29-36)
+            params = dict(variables["params"])
+            params["step1"] = self.step1_variables["params"]
+            variables = {**variables, "params": params}
+        return variables
+
+    def frozen_label_fn(self):
+        def label(params):
+            return {k: ("frozen" if k == "step1" else "train") for k in params}
+
+        return label
+
+    def loss(self, variables, batch, *, train: bool, cfg: TrainConfig):
+        rgb, d = batch["rgb"], batch["depth"]
+        if train:
+            (s0, _), mutated = self.model.apply(
+                variables, rgb, d, rgb, d, True, mutable=["batch_stats"]
+            )
+        else:
+            s0, _ = self.model.apply(variables, rgb, d, rgb, d, False)
+            mutated = {}
+        loss = multi_resolution_loss(
+            s0,
+            batch["gt"],
+            use_gradient_loss=cfg.use_gradient_loss,
+            batch_reduce=cfg.batch_reduce,
+        )
+        return loss, mutated
+
+    def predict(self, variables, batch):
+        rgb, d = batch["rgb"], batch["depth"]
+        s0, _ = self.model.apply(variables, rgb, d, rgb, d, False)
+        return s0[-1]
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FitResult:
+    best_variables: dict
+    best_val_loss: float
+    history: dict = field(default_factory=dict)
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        cfg: TrainConfig,
+        mesh=None,
+        checkpoints: CheckpointManager | None = None,
+        log_fn: Callable[[str], None] = print,
+    ):
+        self.task = task
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(n_data=1)
+        self.checkpoints = checkpoints
+        self.log = log_fn
+        self.tx = build_optimizer(cfg.optimizer, task.frozen_label_fn())
+        self._train_step = None
+        self._eval_step = None
+
+    # -- jitted steps ------------------------------------------------------
+
+    def _build_steps(self):
+        task, cfg, tx = self.task, self.cfg, self.tx
+
+        def train_step(params, batch_stats, opt_state, batch):
+            def loss_fn(p):
+                variables = {"params": p}
+                if task.has_batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return task.loss(variables, batch, train=True, cfg=cfg)
+
+            (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_stats = mutated.get("batch_stats", batch_stats)
+            return new_params, new_stats, new_opt_state, loss
+
+        def eval_step(params, batch_stats, batch):
+            variables = {"params": params}
+            if task.has_batch_stats:
+                variables["batch_stats"] = batch_stats
+            loss, _ = task.loss(variables, batch, train=False, cfg=cfg)
+            return loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._eval_step = jax.jit(eval_step)
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, rng, sample_batch):
+        variables = self.task.init_variables(rng, self._device_batch(sample_batch))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        params, batch_stats, opt_state = replicate(
+            (params, batch_stats, opt_state), self.mesh
+        )
+        return {"params": params, "batch_stats": batch_stats, "opt_state": opt_state}
+
+    def _device_batch(self, batch):
+        batch = {k: np.asarray(v) for k, v in batch.items() if hasattr(v, "shape")}
+        return shard_batch(batch, self.mesh)
+
+    # -- the loop ----------------------------------------------------------
+
+    def fit(
+        self,
+        train_loader: Callable[[], Iterable[dict]],
+        val_loader: Callable[[], Iterable[dict]],
+        *,
+        rng=None,
+        resume: bool = True,
+    ) -> FitResult:
+        cfg = self.cfg
+        if self._train_step is None:
+            self._build_steps()
+
+        first_batch = next(iter(train_loader()))
+        rng = rng if rng is not None else jax.random.key(cfg.seed)
+        state = self.init_state(rng, first_batch)
+
+        sched = build_scheduler(
+            cfg.scheduler, cfg.optimizer.learning_rate, cfg.epochs
+        )
+        history: dict[str, list] = {"train_loss": [], "val_loss": [], "lr": []}
+        start_epoch = 0
+        best_val = float("inf")
+        best_vars = None
+
+        if resume and self.checkpoints is not None:
+            latest = self.checkpoints.latest_epoch()
+            if latest is not None:
+                restored_state, meta = self.checkpoints.restore(
+                    latest, template=jax.tree.map(np.asarray, state)
+                )
+                state = replicate(restored_state, self.mesh)
+                history = meta["history"]
+                best_val = float(meta["best_val"])
+                start_epoch = latest + 1
+                self.log(f"[resume] continuing from epoch {start_epoch}")
+
+        t_start = time.time()
+        num_bad = 0
+        for epoch in range(start_epoch, cfg.epochs):
+            # ---- train sweep
+            losses = []
+            t_step = time.time()
+            for i, batch in enumerate(train_loader()):
+                batch = self._device_batch(batch)
+                (
+                    state["params"],
+                    state["batch_stats"],
+                    state["opt_state"],
+                    loss,
+                ) = self._train_step(
+                    state["params"], state["batch_stats"], state["opt_state"], batch
+                )
+                losses.append(loss)
+                if cfg.log_every and i % cfg.log_every == 0 and i > 0:
+                    self.log(
+                        f"[epoch {epoch}] batch {i} loss {float(loss):.4f} "
+                        f"({time.time() - t_step:.2f}s)"
+                    )
+                    t_step = time.time()
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+            # ---- validation (eval mode + no grads — fixes the reference's
+            # step-2 validation bug, utils.py:74-93)
+            val_losses = [
+                float(
+                    self._eval_step(
+                        state["params"], state["batch_stats"], self._device_batch(b)
+                    )
+                )
+                for b in val_loader()
+            ]
+            val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+
+            history["train_loss"].append(train_loss)
+            history["val_loss"].append(val_loss)
+
+            if val_loss < best_val:
+                best_val = val_loss
+                best_vars = jax.tree.map(np.asarray, self._variables(state))
+                num_bad = 0
+            else:
+                num_bad += 1
+
+            # ---- schedule + early stop (reference train_step1.py:97-114)
+            lr = sched.step(val_loss)
+            set_learning_rate(state["opt_state"], lr)
+            history["lr"].append(lr)
+            self.log(
+                f"[epoch {epoch}] train {train_loss:.4f} val {val_loss:.4f} "
+                f"lr {lr:.2e}"
+            )
+
+            if self.checkpoints is not None and (
+                (epoch + 1) % cfg.checkpoint_every == 0 or epoch == cfg.epochs - 1
+            ):
+                self.checkpoints.save(
+                    epoch,
+                    jax.tree.map(np.asarray, state),
+                    meta={"history": history, "best_val": best_val},
+                )
+
+            if cfg.early_stopping and num_bad >= (
+                cfg.scheduler.patience + cfg.early_stop_extra
+            ):
+                self.log(f"[early stop] epoch {epoch}")
+                break
+
+        self.log(
+            f"training took {(time.time() - t_start) / 60:.2f} min; "
+            f"best val {best_val:.4f}"
+        )
+        if best_vars is None:
+            best_vars = jax.tree.map(np.asarray, self._variables(state))
+        return FitResult(best_vars, best_val, history)
+
+    def _variables(self, state):
+        variables = {"params": state["params"]}
+        if self.task.has_batch_stats:
+            variables["batch_stats"] = state["batch_stats"]
+        return variables
+
+
+def grid_search(
+    task_factory: Callable[[], Any],
+    cfg: TrainConfig,
+    grid,
+    train_loader,
+    val_loader,
+    mesh=None,
+    log_fn: Callable[[str], None] = print,
+):
+    """LR x WD sweep, returns (best FitResult, best lr, best wd) — the
+    reference's outer loop (train_step1.py:140-163)."""
+    best: FitResult | None = None
+    best_lr = best_wd = None
+    for lr in grid.learning_rates:
+        for wd in grid.weight_decays:
+            run_cfg = cfg.replace(
+                optimizer=cfg.optimizer.__class__(
+                    name=cfg.optimizer.name,
+                    learning_rate=lr,
+                    weight_decay=wd,
+                    momentum=cfg.optimizer.momentum,
+                )
+            )
+            log_fn(f"[grid] lr={lr} wd={wd}")
+            trainer = Trainer(task_factory(), run_cfg, mesh=mesh, log_fn=log_fn)
+            result = trainer.fit(train_loader, val_loader, resume=False)
+            if best is None or result.best_val_loss < best.best_val_loss:
+                best, best_lr, best_wd = result, lr, wd
+    return best, best_lr, best_wd
