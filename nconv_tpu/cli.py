@@ -1,0 +1,341 @@
+"""Command-line interface.
+
+The reference drives everything by hand-editing module-level globals in
+`train_step1.py` / `train_step2.py` / `export_to_onnx.py` and rerunning
+(`/root/reference/README.md:74-93`). Here: one CLI with subcommands.
+
+  python -m nconv_tpu train-step1 --dataset nyu --root /data/nyu ...
+  python -m nconv_tpu train-step2 --step1-checkpoint ck/step1 ...
+  python -m nconv_tpu export --checkpoint ck/step2 --out model.stablehlo
+  python -m nconv_tpu bench --height 352 --width 1216
+  python -m nconv_tpu convert --pth ref.pth.tar --out ck/converted
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_train_common(p: argparse.ArgumentParser):
+    p.add_argument("--dataset", choices=["nyu", "void", "kitti", "synthetic"], default="synthetic")
+    p.add_argument("--root", default=None, help="dataset root directory")
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--lr", type=float, nargs="+", default=[1e-2])
+    p.add_argument("--weight-decay", type=float, nargs="+", default=[1e-7])
+    p.add_argument("--optimizer", choices=["adamw", "sgd", "rmsprop"], default="adamw")
+    p.add_argument("--scheduler", choices=["plateau", "linear", "constant"], default="plateau")
+    p.add_argument("--no-gradient-loss", action="store_true")
+    p.add_argument("--apply-mask", action="store_true", default=True)
+    p.add_argument("--no-apply-mask", dest="apply_mask", action="store_false")
+    p.add_argument("--add-noise", action="store_true")
+    p.add_argument("--early-stopping", action="store_true")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--name", default="run")
+    p.add_argument("--num-workers", type=int, default=2)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--limit", type=int, default=None, help="cap dataset size (smoke runs)")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="nconv-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("train-step1", help="train the unguided NConv densifier")
+    _add_train_common(p1)
+
+    p2 = sub.add_parser("train-step2", help="train the RGB-guided fusion net")
+    _add_train_common(p2)
+    p2.add_argument("--step1-checkpoint", default=None, help="orbax dir of step-1 best vars")
+    p2.add_argument("--batch-reduce", choices=["mean", "first"], default="mean")
+
+    pe = sub.add_parser("export", help="export the guided net to StableHLO")
+    pe.add_argument("--checkpoint", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--height", type=int, default=480)
+    pe.add_argument("--width", type=int, default=640)
+    pe.add_argument("--batch", type=int, default=1)
+
+    pb = sub.add_parser("bench", help="FPS/latency benchmark of the guided net")
+    pb.add_argument("--height", type=int, default=352)
+    pb.add_argument("--width", type=int, default=1216)
+    pb.add_argument("--frames", type=int, default=200)
+    pb.add_argument("--checkpoint", default=None)
+
+    pc = sub.add_parser("convert", help="convert a reference .pth.tar checkpoint")
+    pc.add_argument("--pth", required=True)
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--model", choices=["unguided", "guided"], default="guided")
+    pc.add_argument(
+        "--kernel-mode", choices=["raw", "softplus_inverse"], default="raw"
+    )
+
+    pi = sub.add_parser("infer", help="densify a directory of frames")
+    pi.add_argument("--checkpoint", required=True)
+    pi.add_argument("--rgb-glob", required=True)
+    pi.add_argument("--depth-glob", required=True)
+    pi.add_argument("--out-dir", required=True)
+    pi.add_argument("--height", type=int, default=480)
+    pi.add_argument("--width", type=int, default=640)
+    return ap
+
+
+# ---------------------------------------------------------------------------
+# dataset / loader assembly
+# ---------------------------------------------------------------------------
+
+class _SyntheticDataset:
+    """In-memory synthetic sparse-depth frames (BASELINE config #1: no real
+    data needed for the e2e slice)."""
+
+    def __init__(self, n=32, height=480, width=640, seed=0):
+        import numpy as np
+
+        self.n = n
+        rng = np.random.default_rng(seed)
+        i, j = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+        self.truth = (
+            2 + np.sin(i / 60)[None] * rng.random((n, 1, 1)) + np.cos(j / 80)[None]
+        ).astype(np.float32)[..., None]
+        self.masks = (rng.random((n, height, width, 1)) < 0.08).astype(np.float32)
+        self.rgb = rng.random((n, height, width, 3)).astype(np.float32) * 255
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {
+            "rgb": self.rgb[i],
+            "depth": self.truth[i] * self.masks[i],
+            "gt": self.truth[i],
+        }
+
+
+class _Limited:
+    def __init__(self, ds, n):
+        self.ds, self.n = ds, min(n, len(ds))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.ds[i]
+
+
+def make_dataset(args, mode: str):
+    from .data import KITTIDataset, NYUDataset, VOIDDataset
+
+    if args.dataset == "synthetic":
+        ds = _SyntheticDataset(
+            n=32 if mode == "train" else 8,
+            height=args.height or 480,
+            width=args.width or 640,
+            seed=0 if mode == "train" else 1,
+        )
+    elif args.dataset == "nyu":
+        ds = NYUDataset(args.root, mode, args.apply_mask, args.add_noise)
+    elif args.dataset == "void":
+        ds = VOIDDataset(args.root, mode, use_mask=args.apply_mask)
+    else:
+        ds = KITTIDataset(args.root, mode)
+    if args.limit:
+        ds = _Limited(ds, args.limit)
+    return ds
+
+
+def make_loaders(args):
+    from .data import Loader
+
+    train = Loader(
+        make_dataset(args, "train"),
+        args.batch_size,
+        shuffle=True,
+        num_workers=args.num_workers,
+        seed=args.seed,
+    )
+    val = Loader(make_dataset(args, "val"), 1, num_workers=args.num_workers)
+    return (lambda: iter(train)), (lambda: iter(val))
+
+
+def _train_cfg(args, batch_reduce="mean"):
+    from .training import OptimizerConfig, SchedulerConfig, TrainConfig
+
+    return TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        use_gradient_loss=not args.no_gradient_loss,
+        batch_reduce=batch_reduce,
+        optimizer=OptimizerConfig(args.optimizer, args.lr[0], args.weight_decay[0]),
+        scheduler=SchedulerConfig(args.scheduler),
+        early_stopping=args.early_stopping,
+        checkpoint_dir=args.checkpoint_dir,
+        run_name=args.name,
+        seed=args.seed,
+    )
+
+
+# ---------------------------------------------------------------------------
+# commands
+# ---------------------------------------------------------------------------
+
+def cmd_train_step1(args) -> int:
+    from .training import (
+        CheckpointManager,
+        GridSearchConfig,
+        Trainer,
+        UnguidedTask,
+        grid_search,
+        save_best,
+    )
+
+    cfg = _train_cfg(args)
+    train_loader, val_loader = make_loaders(args)
+    grid = GridSearchConfig(args.lr, args.weight_decay)
+    if len(args.lr) * len(args.weight_decay) > 1:
+        best, lr, wd = grid_search(
+            UnguidedTask, cfg, grid, train_loader, val_loader
+        )
+        print(f"grid best: lr={lr} wd={wd} val={best.best_val_loss:.4f}")
+    else:
+        ckpts = CheckpointManager(
+            f"{args.checkpoint_dir}/{args.name}_epochs", keep=3
+        )
+        trainer = Trainer(UnguidedTask(), cfg, checkpoints=ckpts)
+        best = trainer.fit(train_loader, val_loader)
+    path = save_best(args.checkpoint_dir, args.name, best.best_variables)
+    print(f"saved best model to {path} (val {best.best_val_loss:.4f})")
+    return 0
+
+
+def cmd_train_step2(args) -> int:
+    from .training import (
+        CheckpointManager,
+        GuidedTask,
+        Trainer,
+        load_best,
+        save_best,
+    )
+
+    step1_vars = None
+    if args.step1_checkpoint:
+        step1_vars = load_best(args.step1_checkpoint)
+    cfg = _train_cfg(args, batch_reduce=args.batch_reduce)
+    train_loader, val_loader = make_loaders(args)
+    ckpts = CheckpointManager(f"{args.checkpoint_dir}/{args.name}_epochs", keep=3)
+    trainer = Trainer(
+        GuidedTask(step1_variables=step1_vars), cfg, checkpoints=ckpts
+    )
+    best = trainer.fit(train_loader, val_loader)
+    path = save_best(args.checkpoint_dir, args.name, best.best_variables)
+    print(f"saved best model to {path} (val {best.best_val_loss:.4f})")
+    return 0
+
+
+def cmd_export(args) -> int:
+    from .runtime import export_guided, save_exported
+    from .training import load_best
+
+    variables = load_best(args.checkpoint)
+    exported = export_guided(
+        variables, height=args.height, width=args.width, batch=args.batch
+    )
+    path = save_exported(exported, args.out)
+    print(f"exported StableHLO graph to {path}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+    import numpy as np
+
+    from .models import GuidedDepthNet
+    from .runtime import StreamingEngine, benchmark
+    from .training import load_best
+
+    h, w = args.height, args.width
+    model = GuidedDepthNet()
+    if args.checkpoint:
+        variables = load_best(args.checkpoint)
+    else:
+        rng = np.random.default_rng(0)
+        rgb = np.asarray(rng.random((1, h, w, 3)), np.float32)
+        d = np.asarray(rng.random((1, h, w, 1)), np.float32)
+        variables = model.init(jax.random.key(0), rgb, d, rgb, d)
+    engine = StreamingEngine(variables, height=h, width=w, model=model)
+    engine.warmup()
+    stats = benchmark(engine, n_frames=args.frames)
+    print(json.dumps({k: v.as_dict() for k, v in stats.items()}))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from .compat import (
+        convert_guided_state_dict,
+        convert_unguided_state_dict,
+        load_pth_tar,
+    )
+    from .training import save_best
+
+    sd = load_pth_tar(args.pth)
+    if args.model == "guided":
+        variables = convert_guided_state_dict(sd, kernel_mode=args.kernel_mode)
+    else:
+        variables = convert_unguided_state_dict(sd, kernel_mode=args.kernel_mode)
+    path = save_best(*args.out.rsplit("/", 1), variables) if "/" in args.out else save_best(".", args.out, variables)
+    print(f"converted {args.pth} -> {path}")
+    return 0
+
+
+def cmd_infer(args) -> int:
+    import glob as globlib
+    import os
+
+    import numpy as np
+
+    from .data import io as data_io
+    from .runtime import StreamingEngine
+    from .training import load_best
+    from .utils import save_depth
+
+    variables = load_best(args.checkpoint)
+    engine = StreamingEngine(variables, height=args.height, width=args.width)
+    engine.warmup()
+    rgbs = sorted(globlib.glob(args.rgb_glob))
+    depths = sorted(globlib.glob(args.depth_glob))
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i, (rp, dp) in enumerate(zip(rgbs, depths)):
+        rgb = data_io.load_rgb(rp)
+        d = (
+            data_io.load_depth_png16(dp)
+            if dp.endswith(".png")
+            else np.load(dp).astype(np.float32)
+        )
+        out0, _ = engine(rgb, d, rgb, d)
+        dense = np.asarray(out0)[0, :, :, 0]
+        base = os.path.splitext(os.path.basename(rp))[0]
+        data_io.save_depth_png16(os.path.join(args.out_dir, base + "_depth.png"), dense)
+        save_depth(dense, os.path.join(args.out_dir, base + "_vis.png"))
+        print(f"[{i + 1}/{len(rgbs)}] {base}")
+    return 0
+
+
+COMMANDS = {
+    "train-step1": cmd_train_step1,
+    "train-step2": cmd_train_step2,
+    "export": cmd_export,
+    "bench": cmd_bench,
+    "convert": cmd_convert,
+    "infer": cmd_infer,
+}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return COMMANDS[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

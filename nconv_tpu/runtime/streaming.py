@@ -1,0 +1,292 @@
+"""Real-time streaming inference runtime.
+
+The reference deploys by exporting to ONNX and running an external runtime
+(`/root/reference/export_to_onnx.py`). The TPU-native equivalent is a
+persistent jitted graph with the whole frame path fused into one device
+dispatch (BASELINE.json north star):
+
+  raw uint8 RGB + sparse depth (host)
+    -> async H2D staging (double-buffered: frame N+1 uploads while N computes)
+    -> in-graph preprocessing (dtype casts, optional BGR float conversion)
+    -> step-1 densify + guided fusion  (single XLA executable)
+    -> border-masked dense depth per stream
+
+Latency accounting distinguishes per-frame *dispatch* latency from
+steady-state throughput; ``benchmark`` reports FPS plus p50/p90/p99.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import GuidedDepthNet
+
+
+@dataclass
+class FrameStats:
+    fps: float
+    p50_ms: float
+    p90_ms: float
+    p99_ms: float
+    mean_ms: float
+    n_frames: int
+
+    def as_dict(self):
+        return {
+            "fps": self.fps,
+            "p50_ms": self.p50_ms,
+            "p90_ms": self.p90_ms,
+            "p99_ms": self.p99_ms,
+            "mean_ms": self.mean_ms,
+            "n_frames": self.n_frames,
+        }
+
+
+class StreamingEngine:
+    """Persistent batch=1 two-stream depth-completion engine.
+
+    ``engine(rgb0, d0, rgb1, d1)`` takes host numpy frames (HWC uint8/float
+    RGB, HW float sparse depth) and returns the two dense depth maps. The
+    jitted executable is compiled once for the configured geometry; inputs
+    are staged asynchronously so the host never blocks on H2D.
+
+    Wire format: RGB crosses host->HBM as uint8 and sparse depth as uint16
+    fixed-point (d * 256 — the 16-bit-PNG encoding KITTI/VOID sensors ship,
+    so nothing beyond the source data's own quantization is lost). That is
+    4x fewer DMA bytes than float32; decoding to the compute dtype happens
+    *inside* the single fused dispatch. Pass ``depth_wire_dtype=np.float32``
+    for lossless arbitrary-depth input.
+    """
+
+    DEPTH_SCALE = 256.0  # uint16 wire quantization (KITTI PNG convention)
+
+    def __init__(
+        self,
+        variables: dict,
+        *,
+        height: int,
+        width: int,
+        model: GuidedDepthNet | None = None,
+        compute_dtype=jnp.float32,
+        rgb_wire_dtype=np.uint8,
+        depth_wire_dtype=np.uint16,
+        donate: bool = False,
+    ):
+        self.model = model or GuidedDepthNet(dtype=compute_dtype)
+        self.height, self.width = height, width
+        self.compute_dtype = compute_dtype
+        self.rgb_wire_dtype = np.dtype(rgb_wire_dtype)
+        self.depth_wire_dtype = np.dtype(depth_wire_dtype)
+        self.variables = jax.device_put(variables)
+        scale = self.DEPTH_SCALE
+
+        def forward(variables, rgb0, d0, rgb1, d1):
+            # in-graph preprocessing: decode wire dtypes; keeps the whole
+            # frame path in one dispatch
+            f = lambda x: x.astype(compute_dtype)
+            dec = (
+                (lambda x: x.astype(compute_dtype) / scale)
+                if self.depth_wire_dtype == np.uint16
+                else f
+            )
+            out0, out1 = self.model.apply(
+                variables, f(rgb0), dec(d0), f(rgb1), dec(d1),
+                method=GuidedDepthNet.export,
+            )
+            return out0, out1
+
+        self._fn = jax.jit(forward, donate_argnums=(1, 2, 3, 4) if donate else ())
+        self._sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    @property
+    def wire_bytes_per_frame(self) -> int:
+        """Host->HBM bytes per two-stream frame."""
+        hw = self.height * self.width
+        return 2 * hw * (3 * self.rgb_wire_dtype.itemsize + self.depth_wire_dtype.itemsize)
+
+    def _encode_depth(self, a: np.ndarray) -> np.ndarray:
+        if self.depth_wire_dtype == np.uint16:
+            return np.clip(a * self.DEPTH_SCALE, 0, 65535).astype(np.uint16)
+        return a.astype(self.depth_wire_dtype)
+
+    def _stage(self, arr: np.ndarray, channels: int) -> jax.Array:
+        a = np.asarray(arr)
+        if channels == 3:
+            if a.dtype != self.rgb_wire_dtype:
+                a = a.astype(self.rgb_wire_dtype)
+        elif a.dtype != self.depth_wire_dtype:
+            a = self._encode_depth(a)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        if a.ndim == 3:
+            a = a[None]
+        assert a.shape == (1, self.height, self.width, channels), a.shape
+        return jax.device_put(a, self._sharding)
+
+    def warmup(self) -> None:
+        z = np.zeros((self.height, self.width), np.float32)
+        r = np.zeros((self.height, self.width, 3), np.float32)
+        out = self(r, z, r, z)
+        # sync without a D2H fetch: on tunneled backends (axon relay) the
+        # first device->host fetch flips dispatch into a slow synchronous
+        # mode (~60ms/call observed); block_until_ready avoids that
+        jax.block_until_ready(out)
+
+    def __call__(self, rgb0, depth0, rgb1, depth1):
+        out0, out1 = self._fn(
+            self.variables,
+            self._stage(rgb0, 3),
+            self._stage(depth0, 1),
+            self._stage(rgb1, 3),
+            self._stage(depth1, 1),
+        )
+        return out0, out1
+
+    def run(
+        self,
+        frames: Iterable[tuple],
+        *,
+        depth: int = 2,
+        sink: Callable[[Any, Any], None] | None = None,
+    ) -> Iterator[tuple]:
+        """Pipelined streaming loop: keeps ``depth`` frames in flight.
+
+        ``frames`` yields (rgb0, d0, rgb1, d1) host tuples. Staging of frame
+        N+1 overlaps compute of frame N (JAX dispatch is async); results are
+        yielded in order.
+        """
+        inflight: list = []
+        for frame in frames:
+            inflight.append(self._fn(
+                self.variables,
+                self._stage(frame[0], 3),
+                self._stage(frame[1], 1),
+                self._stage(frame[2], 3),
+                self._stage(frame[3], 1),
+            ))
+            if len(inflight) > depth:
+                out = inflight.pop(0)
+                if sink is not None:
+                    sink(*out)
+                yield out
+        for out in inflight:
+            if sink is not None:
+                sink(*out)
+            yield out
+
+
+def _stats_from_latencies(lat: np.ndarray) -> FrameStats:
+    lat_ms = lat * 1e3
+    return FrameStats(
+        fps=float(1.0 / lat.mean()),
+        p50_ms=float(np.percentile(lat_ms, 50)),
+        p90_ms=float(np.percentile(lat_ms, 90)),
+        p99_ms=float(np.percentile(lat_ms, 99)),
+        mean_ms=float(lat_ms.mean()),
+        n_frames=len(lat),
+    )
+
+
+def benchmark(
+    engine: StreamingEngine,
+    *,
+    n_frames: int = 100,
+    warmup: int = 10,
+    frame_factory: Callable[[int], tuple] | None = None,
+    include_e2e: bool = True,
+) -> dict[str, FrameStats]:
+    """Measure steady-state per-frame latency, synced each frame (the
+    worst-case camera-loop pattern, no pipelining credit).
+
+    Returns:
+      ``device``: the fused frame graph alone, inputs resident in HBM —
+        the framework's compute performance (p50 is the north-star metric);
+      ``e2e``: including host staging + H2D of the wire-format frame —
+        transport-dependent (PCIe locally; a network relay under axon).
+    """
+    h, w = engine.height, engine.width
+    rng = np.random.default_rng(0)
+
+    def default_frame(_i):
+        rgb = (rng.random((h, w, 3)) * 255).astype(np.float32)
+        d = (rng.random((h, w)) * 80 * (rng.random((h, w)) < 0.06)).astype(np.float32)
+        return rgb, d, rgb.copy(), d.copy()
+
+    make = frame_factory or default_frame
+    frames = [make(i) for i in range(max(min(warmup, 8), 4))]
+
+    # --- device-graph latency: inputs staged once
+    staged = [
+        (
+            engine._stage(f[0], 3),
+            engine._stage(f[1], 1),
+            engine._stage(f[2], 3),
+            engine._stage(f[3], 1),
+        )
+        for f in frames[:4]
+    ]
+    for i in range(warmup):
+        out = engine._fn(engine.variables, *staged[i % len(staged)])
+    jax.block_until_ready(out)
+    lat = np.empty(n_frames)
+    for i in range(n_frames):
+        s = staged[i % len(staged)]
+        t0 = time.perf_counter()
+        out = engine._fn(engine.variables, *s)
+        jax.block_until_ready(out)
+        lat[i] = time.perf_counter() - t0
+    results = {"device": _stats_from_latencies(lat)}
+
+    # --- end-to-end: fresh staging per frame
+    if include_e2e:
+        n_e2e = max(4, n_frames // 4)
+        lat = np.empty(n_e2e)
+        for i in range(n_e2e):
+            f = frames[i % len(frames)]
+            t0 = time.perf_counter()
+            out0, out1 = engine(*f)
+            jax.block_until_ready((out0, out1))
+            lat[i] = time.perf_counter() - t0
+        results["e2e"] = _stats_from_latencies(lat)
+    return results
+
+
+def benchmark_throughput(
+    variables: dict,
+    *,
+    height: int,
+    width: int,
+    batch: int = 8,
+    compute_dtype=jnp.bfloat16,
+    n_iters: int = 50,
+    model: GuidedDepthNet | None = None,
+) -> float:
+    """Batched multi-stream throughput (frames/s) in bf16 — BASELINE.json
+    config #5."""
+    model = model or GuidedDepthNet(dtype=compute_dtype)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(
+        rng.random((batch, height, width, 3)).astype(np.float32), compute_dtype
+    )
+    d = jnp.asarray(
+        (rng.random((batch, height, width, 1)) * (rng.random((batch, height, width, 1)) < 0.06)).astype(np.float32),
+        compute_dtype,
+    )
+
+    fn = jax.jit(
+        lambda v, r, dd: model.apply(v, r, dd, r, dd, method=GuidedDepthNet.export)
+    )
+    out = fn(variables, rgb, d)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(variables, rgb, d)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    # 2 streams per forward
+    return 2 * batch * n_iters / dt

@@ -98,18 +98,27 @@ def get_learning_rate(opt_state) -> float:
 
 
 def _visit_states(state, visit) -> bool:
-    """DFS over optax state containers, calling visit; True if any hit."""
+    """DFS over optax state containers, calling visit; True if any hit.
+
+    Attribute branches come before generic tuple iteration: optax states are
+    NamedTuples (so also tuples), and e.g. multi_transform's PartitionState
+    would otherwise be consumed by the tuple branch without its
+    ``inner_states`` dict ever being descended into.
+    """
     if visit(state):
         return True
     found = False
-    if isinstance(state, (tuple, list)):
-        for s in state:
-            found |= _visit_states(s, visit)
-    elif hasattr(state, "inner_states"):  # multi_transform
+    if hasattr(state, "inner_states"):  # multi_transform PartitionState
         for s in state.inner_states.values():
             found |= _visit_states(s, visit)
-    elif hasattr(state, "inner_state"):
+    elif hasattr(state, "inner_state"):  # MaskedState
         found |= _visit_states(state.inner_state, visit)
+    elif isinstance(state, dict):
+        for s in state.values():
+            found |= _visit_states(s, visit)
+    elif isinstance(state, (tuple, list)):
+        for s in state:
+            found |= _visit_states(s, visit)
     return found
 
 

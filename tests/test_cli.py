@@ -1,0 +1,80 @@
+"""CLI smoke tests on the synthetic dataset (tiny geometry, CPU)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nconv_tpu.cli import build_parser, main
+
+
+def test_parser_requires_subcommand():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args([])
+
+
+def test_train_step1_synthetic_and_export(tmp_path, capsys):
+    ckdir = str(tmp_path / "ck")
+    rc = main(
+        [
+            "train-step1",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--batch-size", "2",
+            "--height", "48", "--width", "64",
+            "--limit", "4",
+            "--checkpoint-dir", ckdir,
+            "--name", "s1",
+            "--num-workers", "0",
+        ]
+    )
+    assert rc == 0
+    assert os.path.isdir(os.path.join(ckdir, "s1"))
+
+    # step-2 warm-started from the step-1 checkpoint
+    rc = main(
+        [
+            "train-step2",
+            "--dataset", "synthetic",
+            "--epochs", "1",
+            "--batch-size", "1",
+            "--height", "48", "--width", "64",
+            "--limit", "2",
+            "--checkpoint-dir", ckdir,
+            "--name", "s2",
+            "--num-workers", "0",
+            "--step1-checkpoint", os.path.join(ckdir, "s1"),
+        ]
+    )
+    assert rc == 0
+
+    out = str(tmp_path / "model.stablehlo")
+    rc = main(
+        [
+            "export",
+            "--checkpoint", os.path.join(ckdir, "s2"),
+            "--out", out,
+            "--height", "48", "--width", "64",
+        ]
+    )
+    assert rc == 0
+    assert os.path.getsize(out) > 1000
+
+    # inference from the exported-checkpoint weights
+    from nconv_tpu.runtime import load_exported
+
+    fn = load_exported(out)
+    rgb = np.zeros((1, 48, 64, 3), np.float32)
+    d = np.zeros((1, 48, 64, 1), np.float32)
+    out0, out1 = fn(rgb, d, rgb, d)
+    assert np.asarray(out0).shape == (1, 48, 64, 1)
+
+
+def test_bench_command_smoke(capsys):
+    rc = main(
+        ["bench", "--height", "48", "--width", "64", "--frames", "3"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = json.loads(out)
+    assert stats["device"]["fps"] > 0

@@ -1,0 +1,124 @@
+"""Streaming runtime + export tests (CPU, small geometry)."""
+import numpy as np
+import pytest
+
+import jax
+
+from nconv_tpu.models import GuidedDepthNet
+from nconv_tpu.runtime import (
+    StreamingEngine,
+    benchmark,
+    export_guided,
+    load_exported,
+    save_exported,
+)
+
+H, W = 96, 128
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module")
+def guided_vars():
+    model = GuidedDepthNet()
+    rgb = np.zeros((1, H, W, 3), np.float32)
+    d = np.zeros((1, H, W, 1), np.float32)
+    return model.init(jax.random.key(0), rgb, d, rgb, d)
+
+
+def frame():
+    rgb = (RNG.random((H, W, 3)) * 255).astype(np.float32)
+    d = (RNG.random((H, W)) * 5 * (RNG.random((H, W)) < 0.1)).astype(np.float32)
+    return rgb, d
+
+
+def test_engine_basic(guided_vars):
+    engine = StreamingEngine(guided_vars, height=H, width=W)
+    engine.warmup()
+    rgb, d = frame()
+    out0, out1 = engine(rgb, d, rgb, d)
+    a = np.asarray(out0)
+    assert a.shape == (1, H, W, 1)
+    assert (a[:, :45] == 0).all()  # border mask applied
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), rtol=1e-5)
+
+
+def test_engine_streaming_pipeline(guided_vars):
+    engine = StreamingEngine(guided_vars, height=H, width=W)
+    engine.warmup()
+    frames = []
+    for _ in range(5):
+        rgb, d = frame()
+        frames.append((rgb, d, rgb, d))
+    outs = list(engine.run(iter(frames), depth=2))
+    assert len(outs) == 5
+    # pipelined results must equal one-at-a-time results
+    ref0, _ = engine(*frames[0])
+    np.testing.assert_allclose(np.asarray(outs[0][0]), np.asarray(ref0), rtol=1e-5)
+
+
+def test_engine_accepts_uint8_rgb(guided_vars):
+    engine = StreamingEngine(guided_vars, height=H, width=W)
+    rgb = (RNG.random((H, W, 3)) * 255).astype(np.uint8)
+    d = (RNG.random((H, W))).astype(np.float32)
+    out0, _ = engine(rgb, d, rgb, d)
+    assert np.isfinite(np.asarray(out0)).all()
+
+
+def test_engine_rejects_wrong_geometry(guided_vars):
+    engine = StreamingEngine(guided_vars, height=H, width=W)
+    rgb, d = frame()
+    with pytest.raises(AssertionError):
+        engine(rgb[:50], d, rgb, d)
+
+
+def test_benchmark_smoke(guided_vars):
+    engine = StreamingEngine(guided_vars, height=H, width=W)
+    stats = benchmark(engine, n_frames=5, warmup=2)
+    dev, e2e = stats["device"], stats["e2e"]
+    assert dev.fps > 0 and e2e.fps > 0
+    assert dev.p50_ms <= dev.p99_ms
+    assert dev.n_frames == 5
+    # uint8 RGB (3B) + uint16 depth (2B) wire: 5 bytes/px/stream
+    assert engine.wire_bytes_per_frame == 2 * H * W * 5
+
+
+def test_depth_wire_quantization_is_lossless_for_png_data(guided_vars):
+    """uint16 wire = the dataset PNGs' own encoding: staging depths that
+    came from 16-bit PNGs must be exact."""
+    engine = StreamingEngine(guided_vars, height=H, width=W)
+    d = (RNG.integers(0, 65535, (H, W)) / 256.0).astype(np.float32)
+    staged = engine._stage(d, 1)
+    back = np.asarray(staged).astype(np.float32)[0, :, :, 0] / 256.0
+    np.testing.assert_array_equal(back, d)
+
+
+def test_export_roundtrip(tmp_path, guided_vars):
+    """StableHLO export (the ONNX-equivalent deliverable): serialize,
+    reload without model code, outputs must match the live model."""
+    exported = export_guided(guided_vars, height=H, width=W)
+    path = str(tmp_path / "guided.stablehlo")
+    save_exported(exported, path)
+
+    fn = load_exported(path)
+    rgb, d = frame()
+    rgb_b = rgb[None]
+    d_b = d[None, :, :, None]
+    got0, got1 = fn(rgb_b, d_b, rgb_b, d_b)
+
+    model = GuidedDepthNet()
+    ref0, ref1 = model.apply(
+        guided_vars, rgb_b, d_b, rgb_b, d_b, method=GuidedDepthNet.export
+    )
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), rtol=1e-5, atol=1e-5)
+
+
+def test_graft_entry_single_chip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    lowered = jax.jit(fn).lower(*args)
+    assert lowered is not None  # compiles single-chip
