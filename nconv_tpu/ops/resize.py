@@ -24,7 +24,12 @@ def _nearest_indices(out_size: int, in_size: int) -> np.ndarray:
 
 
 def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
-    """Nearest-neighbour resize to ``size=(H, W)``; torch 'nearest' convention."""
+    """Nearest-neighbour resize to ``size=(H, W)``; torch 'nearest' convention.
+
+    (An integer-factor broadcast+reshape variant was tried and measured
+    *slower* than the gather on v5e — the cross-lane reshape costs more
+    than the gather's relayout — so this stays gather-based.)
+    """
     h_out, w_out = size
     _, h_in, w_in, _ = x.shape
     if (h_out, w_out) == (h_in, w_in):

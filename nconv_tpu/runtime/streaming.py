@@ -192,6 +192,18 @@ def _stats_from_latencies(lat: np.ndarray) -> FrameStats:
     )
 
 
+def _force_complete(out) -> float:
+    """Fetch a 4-byte probe that data-depends on the full result.
+
+    This is the only honest sync on every backend: on the axon TPU tunnel,
+    ``block_until_ready`` acknowledges dispatch without waiting for
+    execution (measured implying >10x the chip's peak FLOPs), so all timing
+    here forces completion through a scalar device->host read.
+    """
+    o = out[0] if isinstance(out, (tuple, list)) else out
+    return float(np.asarray(jax.jit(jnp.sum)(o)))
+
+
 def benchmark(
     engine: StreamingEngine,
     *,
@@ -199,15 +211,20 @@ def benchmark(
     warmup: int = 10,
     frame_factory: Callable[[int], tuple] | None = None,
     include_e2e: bool = True,
+    window: int = 10,
 ) -> dict[str, FrameStats]:
-    """Measure steady-state per-frame latency, synced each frame (the
-    worst-case camera-loop pattern, no pipelining credit).
+    """Measure steady-state per-frame cost with completion forced each
+    measurement (see :func:`_force_complete`).
 
     Returns:
-      ``device``: the fused frame graph alone, inputs resident in HBM —
-        the framework's compute performance (p50 is the north-star metric);
-      ``e2e``: including host staging + H2D of the wire-format frame —
-        transport-dependent (PCIe locally; a network relay under axon).
+      ``device``: amortized execution time of the fused frame graph, inputs
+        resident in HBM — ``window`` frames are enqueued back-to-back and a
+        probe forces completion of the last; per-frame time = window/size.
+        This is the framework's compute performance (north-star metric).
+      ``synced``: per-frame latency with a completion probe every frame —
+        adds one transport round trip per frame (tiny on PCIe; tens of ms
+        on the axon relay).
+      ``e2e``: ``synced`` plus host staging + H2D of the wire-format frame.
     """
     h, w = engine.height, engine.width
     rng = np.random.default_rng(0)
@@ -218,9 +235,7 @@ def benchmark(
         return rgb, d, rgb.copy(), d.copy()
 
     make = frame_factory or default_frame
-    frames = [make(i) for i in range(max(min(warmup, 8), 4))]
-
-    # --- device-graph latency: inputs staged once
+    frames = [make(i) for i in range(4)]
     staged = [
         (
             engine._stage(f[0], 3),
@@ -228,19 +243,33 @@ def benchmark(
             engine._stage(f[2], 3),
             engine._stage(f[3], 1),
         )
-        for f in frames[:4]
+        for f in frames
     ]
-    for i in range(warmup):
+    for i in range(max(warmup, 2)):
         out = engine._fn(engine.variables, *staged[i % len(staged)])
-    jax.block_until_ready(out)
-    lat = np.empty(n_frames)
-    for i in range(n_frames):
-        s = staged[i % len(staged)]
+    _force_complete(out)
+
+    # --- amortized execution: windows of back-to-back enqueues
+    n_windows = max(3, n_frames // window)
+    per_frame = np.empty(n_windows)
+    for j in range(n_windows):
+        t0 = time.perf_counter()
+        for i in range(window):
+            out = engine._fn(engine.variables, *staged[(j * window + i) % 4])
+        _force_complete(out)
+        per_frame[j] = (time.perf_counter() - t0) / window
+    results = {"device": _stats_from_latencies(per_frame)}
+
+    # --- per-frame synced latency
+    n_sync = max(4, n_frames // 4)
+    lat = np.empty(n_sync)
+    for i in range(n_sync):
+        s = staged[i % 4]
         t0 = time.perf_counter()
         out = engine._fn(engine.variables, *s)
-        jax.block_until_ready(out)
+        _force_complete(out)
         lat[i] = time.perf_counter() - t0
-    results = {"device": _stats_from_latencies(lat)}
+    results["synced"] = _stats_from_latencies(lat)
 
     # --- end-to-end: fresh staging per frame
     if include_e2e:
@@ -249,8 +278,8 @@ def benchmark(
         for i in range(n_e2e):
             f = frames[i % len(frames)]
             t0 = time.perf_counter()
-            out0, out1 = engine(*f)
-            jax.block_until_ready((out0, out1))
+            out = engine(*f)
+            _force_complete(out)
             lat[i] = time.perf_counter() - t0
         results["e2e"] = _stats_from_latencies(lat)
     return results
@@ -282,11 +311,11 @@ def benchmark_throughput(
         lambda v, r, dd: model.apply(v, r, dd, r, dd, method=GuidedDepthNet.export)
     )
     out = fn(variables, rgb, d)
-    jax.block_until_ready(out)
+    _force_complete(out)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fn(variables, rgb, d)
-    jax.block_until_ready(out)
+    _force_complete(out)
     dt = time.perf_counter() - t0
     # 2 streams per forward
     return 2 * batch * n_iters / dt

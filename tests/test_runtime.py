@@ -75,9 +75,9 @@ def test_benchmark_smoke(guided_vars):
     engine = StreamingEngine(guided_vars, height=H, width=W)
     stats = benchmark(engine, n_frames=5, warmup=2)
     dev, e2e = stats["device"], stats["e2e"]
-    assert dev.fps > 0 and e2e.fps > 0
+    assert dev.fps > 0 and e2e.fps > 0 and stats["synced"].fps > 0
     assert dev.p50_ms <= dev.p99_ms
-    assert dev.n_frames == 5
+    assert dev.n_frames == 3  # amortized windows
     # uint8 RGB (3B) + uint16 depth (2B) wire: 5 bytes/px/stream
     assert engine.wire_bytes_per_frame == 2 * H * W * 5
 
