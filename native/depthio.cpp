@@ -1,0 +1,239 @@
+// depthio: native data-path for nconv-tpu.
+//
+// The reference's data layer decodes PNGs with cv2 on the training thread
+// (SURVEY.md §3.1: num_workers=0, main-process IO). This library provides
+// the hot IO path as C++ — 16-bit depth PNG decode (the KITTI/VOID /256
+// fixed-point convention), RGB decode straight into the streaming engine's
+// wire formats (uint8 BGR / uint16 depth), crops and sparsifier kernels —
+// callable from Python via ctypes. ctypes foreign calls release the GIL, so
+// a Python thread pool over these entry points decodes truly in parallel.
+//
+// Build: make -C native   (g++ -O3 -shared, links libpng16 + zlib)
+
+#include <png.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct PngImage {
+  std::vector<png_bytep> rows;
+  std::vector<png_byte> data;
+  png_uint_32 width = 0, height = 0;
+  int bit_depth = 0, color_type = 0, channels = 0;
+};
+
+// Decode any PNG into 8- or 16-bit rows. Returns 0 on success.
+int read_png(const char* path, PngImage* img, bool want_rgb8) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  png_byte header[8];
+  if (std::fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    std::fclose(fp);
+    return -2;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return -3;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return -4;
+  }
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  img->width = png_get_image_width(png, info);
+  img->height = png_get_image_height(png, info);
+  img->bit_depth = png_get_bit_depth(png, info);
+  img->color_type = png_get_color_type(png, info);
+
+  if (want_rgb8) {
+    if (img->bit_depth == 16) png_set_strip_16(png);
+    if (img->color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    if (img->color_type == PNG_COLOR_TYPE_GRAY && img->bit_depth < 8)
+      png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    if (img->color_type == PNG_COLOR_TYPE_GRAY ||
+        img->color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+      png_set_gray_to_rgb(png);
+    png_set_strip_alpha(png);
+  } else {
+    // 16-bit grayscale depth: PNG stores big-endian; swap to host LE
+    if (img->bit_depth == 16) png_set_swap(png);
+  }
+  png_read_update_info(png, info);
+
+  img->channels = png_get_channels(png, info);
+  size_t rowbytes = png_get_rowbytes(png, info);
+  img->data.resize(rowbytes * img->height);
+  img->rows.resize(img->height);
+  for (png_uint_32 y = 0; y < img->height; ++y)
+    img->rows[y] = img->data.data() + y * rowbytes;
+  png_read_image(png, img->rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int depthio_version() { return 1; }
+
+// Query dimensions without full decode.
+int depthio_png_info(const char* path, int* w, int* h, int* bit_depth,
+                     int* channels) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  png_byte header[8];
+  if (std::fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    std::fclose(fp);
+    return -2;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return -3;
+  }
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+  *w = png_get_image_width(png, info);
+  *h = png_get_image_height(png, info);
+  *bit_depth = png_get_bit_depth(png, info);
+  *channels = png_get_channels(png, info);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  return 0;
+}
+
+// 16-bit (or 8-bit) grayscale depth PNG -> float32 meters (value / scale_div).
+// out must hold h*w floats; (h, w) must match the file. Returns 0 on success.
+int depthio_load_depth_f32(const char* path, float scale_div, float* out,
+                           int h, int w) {
+  PngImage img;
+  int rc = read_png(path, &img, /*want_rgb8=*/false);
+  if (rc) return rc;
+  if ((int)img.height != h || (int)img.width != w || img.channels != 1)
+    return -10;
+  const float inv = 1.0f / scale_div;
+  if (img.bit_depth == 16) {
+    for (int y = 0; y < h; ++y) {
+      const uint16_t* row = reinterpret_cast<const uint16_t*>(img.rows[y]);
+      float* orow = out + (size_t)y * w;
+      for (int x = 0; x < w; ++x) orow[x] = row[x] * inv;
+    }
+  } else if (img.bit_depth == 8) {
+    for (int y = 0; y < h; ++y) {
+      const uint8_t* row = img.rows[y];
+      float* orow = out + (size_t)y * w;
+      for (int x = 0; x < w; ++x) orow[x] = row[x] * inv;
+    }
+  } else {
+    return -11;
+  }
+  return 0;
+}
+
+// Depth PNG -> raw uint16 fixed-point (the streaming wire format; for
+// 16-bit files this is a bit-exact passthrough of the sensor encoding).
+int depthio_load_depth_u16(const char* path, uint16_t* out, int h, int w) {
+  PngImage img;
+  int rc = read_png(path, &img, false);
+  if (rc) return rc;
+  if ((int)img.height != h || (int)img.width != w || img.channels != 1)
+    return -10;
+  if (img.bit_depth != 16) return -11;
+  for (int y = 0; y < h; ++y)
+    std::memcpy(out + (size_t)y * w, img.rows[y], sizeof(uint16_t) * w);
+  return 0;
+}
+
+// RGB PNG -> float32 HWC, 0..255, BGR (reference cv2 convention) or RGB.
+int depthio_load_rgb_f32(const char* path, int bgr, float* out, int h, int w) {
+  PngImage img;
+  int rc = read_png(path, &img, /*want_rgb8=*/true);
+  if (rc) return rc;
+  if ((int)img.height != h || (int)img.width != w || img.channels != 3)
+    return -10;
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = img.rows[y];
+    float* orow = out + (size_t)y * w * 3;
+    if (bgr) {
+      for (int x = 0; x < w; ++x) {
+        orow[3 * x + 0] = row[3 * x + 2];
+        orow[3 * x + 1] = row[3 * x + 1];
+        orow[3 * x + 2] = row[3 * x + 0];
+      }
+    } else {
+      for (int x = 0; x < w * 3; ++x) orow[x] = row[x];
+    }
+  }
+  return 0;
+}
+
+// RGB PNG -> uint8 HWC wire format (BGR or RGB).
+int depthio_load_rgb_u8(const char* path, int bgr, uint8_t* out, int h, int w) {
+  PngImage img;
+  int rc = read_png(path, &img, true);
+  if (rc) return rc;
+  if ((int)img.height != h || (int)img.width != w || img.channels != 3)
+    return -10;
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = img.rows[y];
+    uint8_t* orow = out + (size_t)y * w * 3;
+    if (bgr) {
+      for (int x = 0; x < w; ++x) {
+        orow[3 * x + 0] = row[3 * x + 2];
+        orow[3 * x + 1] = row[3 * x + 1];
+        orow[3 * x + 2] = row[3 * x + 0];
+      }
+    } else {
+      std::memcpy(orow, row, (size_t)w * 3);
+    }
+  }
+  return 0;
+}
+
+// Top-aligned-row / centered-col crop (the dataset convention,
+// kittiloader.py:53-59): in (h, w, c) -> out (oh, ow, c).
+void depthio_crop_top_center(const float* in, int h, int w, int c, int oh,
+                             int ow, float* out) {
+  int tp = h - oh;
+  int lp = (w - ow) / 2;
+  for (int y = 0; y < oh; ++y) {
+    const float* irow = in + ((size_t)(y + tp) * w + lp) * c;
+    std::memcpy(out + (size_t)y * ow * c, irow, sizeof(float) * ow * c);
+  }
+}
+
+// depth *= mask (the mask-pool sparsifier's inner loop)
+void depthio_apply_mask(float* depth, const float* mask, long n) {
+  for (long i = 0; i < n; ++i) depth[i] *= mask[i];
+}
+
+// fused: float depth (meters) -> uint16 wire (d * 256, clipped)
+void depthio_encode_depth_wire(const float* depth, uint16_t* out, long n) {
+  for (long i = 0; i < n; ++i) {
+    float v = depth[i] * 256.0f;
+    if (v < 0.0f) v = 0.0f;
+    if (v > 65535.0f) v = 65535.0f;
+    out[i] = (uint16_t)v;
+  }
+}
+
+}  // extern "C"

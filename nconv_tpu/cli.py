@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--kernel-mode", choices=["raw", "softplus_inverse"], default="raw"
     )
 
+    pv = sub.add_parser("eval", help="evaluate a checkpoint on a dataset")
+    _add_train_common(pv)
+    pv.add_argument("--checkpoint", required=True)
+    pv.add_argument("--model", choices=["unguided", "guided"], default="guided")
+    pv.add_argument("--split", default="val")
+    pv.add_argument("--max-batches", type=int, default=None)
+
     pi = sub.add_parser("infer", help="densify a directory of frames")
     pi.add_argument("--checkpoint", required=True)
     pi.add_argument("--rgb-glob", required=True)
@@ -289,6 +296,27 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    from .data import Loader
+    from .training import (
+        evaluate,
+        load_best,
+        make_guided_predict,
+        make_unguided_predict,
+    )
+
+    variables = load_best(args.checkpoint)
+    if args.model == "guided":
+        predict = make_guided_predict(variables)
+    else:
+        predict = make_unguided_predict(variables)
+    ds = make_dataset(args, args.split)
+    loader = Loader(ds, args.batch_size, num_workers=args.num_workers)
+    result = evaluate(predict, loader, max_batches=args.max_batches)
+    print(json.dumps({k: round(v, 6) for k, v in result.items()}))
+    return 0
+
+
 def cmd_infer(args) -> int:
     import glob as globlib
     import os
@@ -328,6 +356,7 @@ COMMANDS = {
     "export": cmd_export,
     "bench": cmd_bench,
     "convert": cmd_convert,
+    "eval": cmd_eval,
     "infer": cmd_infer,
 }
 

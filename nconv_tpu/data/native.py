@@ -1,0 +1,178 @@
+"""ctypes bindings for the native data path (native/depthio.cpp).
+
+The shared library is built on demand with g++ (cached next to the source);
+every loader degrades gracefully to the PIL implementations in
+:mod:`nconv_tpu.data.io` when the toolchain or libpng is unavailable.
+ctypes foreign calls release the GIL, so these decoders parallelize across
+the Loader's thread pool.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libdepthio.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "depthio.cpp")
+    if not os.path.isfile(src):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.isfile(_SO_PATH)
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lib_lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.isfile(_SO_PATH) and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        c = ctypes.c_char_p
+        i = ctypes.c_int
+        f = ctypes.c_float
+        fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        lib.depthio_png_info.argtypes = [c] + [ctypes.POINTER(i)] * 4
+        lib.depthio_load_depth_f32.argtypes = [c, f, fp, i, i]
+        lib.depthio_load_depth_u16.argtypes = [c, u16p, i, i]
+        lib.depthio_load_rgb_f32.argtypes = [c, i, fp, i, i]
+        lib.depthio_load_rgb_u8.argtypes = [c, i, u8p, i, i]
+        lib.depthio_crop_top_center.argtypes = [fp, i, i, i, i, i, fp]
+        lib.depthio_apply_mask.argtypes = [fp, fp, ctypes.c_long]
+        lib.depthio_encode_depth_wire.argtypes = [fp, u16p, ctypes.c_long]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def png_info(path: str) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, channels)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native depthio unavailable")
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    bd = ctypes.c_int()
+    ch = ctypes.c_int()
+    rc = lib.depthio_png_info(path.encode(), w, h, bd, ch)
+    if rc:
+        raise IOError(f"depthio_png_info({path}) failed: {rc}")
+    return w.value, h.value, bd.value, ch.value
+
+
+def load_depth_png16(path: str, scale: float = 256.0) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from . import io
+
+        return io.load_depth_png16(path)
+    w, h, _, _ = png_info(path)
+    out = np.empty((h, w), np.float32)
+    rc = lib.depthio_load_depth_f32(path.encode(), scale, out, h, w)
+    if rc:
+        raise IOError(f"depthio_load_depth_f32({path}) failed: {rc}")
+    return out
+
+
+def load_depth_wire_u16(path: str) -> np.ndarray:
+    """Bit-exact uint16 fixed-point depth (the streaming wire format)."""
+    lib = _load()
+    if lib is None:
+        from . import io
+
+        return np.clip(io.load_depth_png16(path) * 256.0, 0, 65535).astype(np.uint16)
+    w, h, _, _ = png_info(path)
+    out = np.empty((h, w), np.uint16)
+    rc = lib.depthio_load_depth_u16(path.encode(), out, h, w)
+    if rc:
+        raise IOError(f"depthio_load_depth_u16({path}) failed: {rc}")
+    return out
+
+
+def load_rgb(path: str, *, bgr: bool = True) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from . import io
+
+        return io.load_rgb(path, bgr=bgr)
+    w, h, _, _ = png_info(path)
+    out = np.empty((h, w, 3), np.float32)
+    rc = lib.depthio_load_rgb_f32(path.encode(), int(bgr), out, h, w)
+    if rc:
+        raise IOError(f"depthio_load_rgb_f32({path}) failed: {rc}")
+    return out
+
+
+def load_rgb_wire_u8(path: str, *, bgr: bool = True) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        return load_rgb(path, bgr=bgr).astype(np.uint8)
+    w, h, _, _ = png_info(path)
+    out = np.empty((h, w, 3), np.uint8)
+    rc = lib.depthio_load_rgb_u8(path.encode(), int(bgr), out, h, w)
+    if rc:
+        raise IOError(f"depthio_load_rgb_u8({path}) failed: {rc}")
+    return out
+
+
+def crop_top_center(arr: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    lib = _load()
+    a = np.ascontiguousarray(arr, np.float32)
+    h, w = a.shape[:2]
+    c = 1 if a.ndim == 2 else a.shape[2]
+    if lib is None:
+        tp, lp = h - oh, (w - ow) // 2
+        return a[tp : tp + oh, lp : lp + ow].copy()
+    out = np.empty((oh, ow, c) if a.ndim == 3 else (oh, ow), np.float32)
+    lib.depthio_crop_top_center(a.reshape(h, w, c), h, w, c, oh, ow, out.reshape(oh, ow, c))
+    return out
+
+
+def apply_mask(depth: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    lib = _load()
+    d = np.ascontiguousarray(depth, np.float32)
+    m = np.ascontiguousarray(mask, np.float32)
+    if lib is None:
+        return d * m
+    lib.depthio_apply_mask(d, m, d.size)
+    return d
+
+
+def encode_depth_wire(depth: np.ndarray) -> np.ndarray:
+    lib = _load()
+    d = np.ascontiguousarray(depth, np.float32)
+    if lib is None:
+        return np.clip(d * 256.0, 0, 65535).astype(np.uint16)
+    out = np.empty(d.shape, np.uint16)
+    lib.depthio_encode_depth_wire(d, out, d.size)
+    return out

@@ -1,6 +1,7 @@
 """Training harness: configs, optimizers/schedules, checkpointing, loops."""
 from .checkpoint import CheckpointManager, load_best, save_best
 from .config import GridSearchConfig, OptimizerConfig, SchedulerConfig, TrainConfig
+from .evaluate import evaluate, make_guided_predict, make_unguided_predict
 from .optim import (
     ConstantScheduler,
     LinearScheduler,
@@ -27,6 +28,9 @@ __all__ = [
     "build_scheduler",
     "get_learning_rate",
     "set_learning_rate",
+    "evaluate",
+    "make_guided_predict",
+    "make_unguided_predict",
     "FitResult",
     "GuidedTask",
     "Trainer",

@@ -78,3 +78,29 @@ def test_bench_command_smoke(capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     stats = json.loads(out)
     assert stats["device"]["fps"] > 0
+
+
+def test_eval_command(tmp_path, capsys):
+    ckdir = str(tmp_path / "ck")
+    rc = main(
+        [
+            "train-step1",
+            "--dataset", "synthetic", "--epochs", "1", "--batch-size", "2",
+            "--height", "48", "--width", "64", "--limit", "4",
+            "--checkpoint-dir", ckdir, "--name", "s1", "--num-workers", "0",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(
+        [
+            "eval",
+            "--dataset", "synthetic", "--height", "48", "--width", "64",
+            "--limit", "2", "--checkpoint", os.path.join(ckdir, "s1"),
+            "--model", "unguided", "--num-workers", "0", "--batch-size", "1",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(stats) >= {"rmse", "mae", "irmse", "imae", "delta1"}
+    assert stats["rmse"] > 0
