@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--frames", type=int, default=200)
     pb.add_argument("--checkpoint", default=None)
 
+    pp = sub.add_parser("profile", help="per-op device-time profile of the guided net")
+    pp.add_argument("--height", type=int, default=352)
+    pp.add_argument("--width", type=int, default=1216)
+    pp.add_argument("--iters", type=int, default=3)
+    pp.add_argument("--checkpoint", default=None)
+
     pc = sub.add_parser("convert", help="convert a reference .pth.tar checkpoint")
     pc.add_argument("--pth", required=True)
     pc.add_argument("--out", required=True)
@@ -278,6 +284,31 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    import jax
+    import numpy as np
+
+    from .models import GuidedDepthNet
+    from .training import load_best
+    from .utils import profile_fn
+
+    h, w = args.height, args.width
+    model = GuidedDepthNet()
+    rng = np.random.default_rng(0)
+    rgb = np.asarray(rng.random((1, h, w, 3)), np.float32)
+    d = np.asarray(rng.random((1, h, w, 1)), np.float32)
+    if args.checkpoint:
+        variables = load_best(args.checkpoint)
+    else:
+        variables = model.init(jax.random.key(0), rgb, d, rgb, d)
+    fn = jax.jit(
+        lambda v, r, dd: model.apply(v, r, dd, r, dd, method=GuidedDepthNet.export)
+    )
+    profile = profile_fn(fn, variables, rgb, d, n_iters=args.iters)
+    print(profile.report())
+    return 0
+
+
 def cmd_convert(args) -> int:
     from .compat import (
         convert_guided_state_dict,
@@ -356,6 +387,7 @@ COMMANDS = {
     "export": cmd_export,
     "bench": cmd_bench,
     "convert": cmd_convert,
+    "profile": cmd_profile,
     "eval": cmd_eval,
     "infer": cmd_infer,
 }

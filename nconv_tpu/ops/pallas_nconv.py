@@ -49,23 +49,21 @@ def _stack_halo_tiles(x: jax.Array, th: int, kh: int, n_tiles: int) -> jax.Array
 def _nconv_kernel(dc_ref, c_ref, w_ref, bias_ref, wsum_ref, out_ref, cout_ref,
                   *, kh: int, kw: int, cin: int, cout: int, th: int,
                   w_out: int, eps: float):
-    # load the 3-D (cin, th+kh-1, wp) stacks once; taps below are static
-    # sublane/lane slices of these register-resident values
-    dc3 = dc_ref[0, 0]
-    c3 = c_ref[0, 0]
+    # load input planes once; taps below are static sublane/lane slices of
+    # these register-resident values. Weights enter as scalar splats — a
+    # vector-over-both-tiled-dims broadcast is not implemented in Mosaic.
+    dc_planes = [dc_ref[0, 0, ci] for ci in range(cin)]
+    c_planes = [c_ref[0, 0, ci] for ci in range(cin)]
     for co in range(cout):
-        # accumulate per-input-channel partial sums in one 3-D tensor and
-        # reduce once — 25 broadcasted FMAs per output channel instead of
-        # 25*cin scalar-x-plane statements (keeps the Mosaic program small)
-        nomin3 = jnp.zeros((cin, th, w_out), jnp.float32)
-        denom3 = jnp.zeros((cin, th, w_out), jnp.float32)
-        for dy in range(kh):
-            for dx in range(kw):
-                wv = w_ref[co, :, dy, dx].reshape(cin, 1, 1)
-                nomin3 += wv * dc3[:, dy : dy + th, dx : dx + w_out]
-                denom3 += wv * c3[:, dy : dy + th, dx : dx + w_out]
-        nomin = jnp.sum(nomin3, axis=0)
-        denom = jnp.sum(denom3, axis=0)
+        nomin = jnp.zeros((th, w_out), jnp.float32)
+        denom = jnp.zeros((th, w_out), jnp.float32)
+        for ci in range(cin):
+            dcp, cp = dc_planes[ci], c_planes[ci]
+            for dy in range(kh):
+                for dx in range(kw):
+                    wv = w_ref[co, ci, dy, dx]
+                    nomin += wv * dcp[dy : dy + th, dx : dx + w_out]
+                    denom += wv * cp[dy : dy + th, dx : dx + w_out]
         out_ref[0, co] = (nomin / (denom + eps) + bias_ref[co]).astype(out_ref.dtype)
         cout_ref[0, co] = (denom / wsum_ref[co]).astype(cout_ref.dtype)
 

@@ -52,6 +52,10 @@ class TrainConfig:
     log_every: int = 25  # batches
     dump_images_every: int = 0  # batches; 0 disables debug depth dumps
     image_dir: str = "tmp"
+    # failure detection: 'raise' aborts on a non-finite epoch loss (so the
+    # per-epoch checkpoint of the last good state survives), 'ignore' keeps
+    # going (the reference had no detection at all, SURVEY.md §5.3)
+    nan_policy: str = "raise"
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

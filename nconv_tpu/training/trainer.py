@@ -269,6 +269,15 @@ class Trainer:
             ]
             val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
 
+            if cfg.nan_policy == "raise" and not (
+                np.isfinite(train_loss) and np.isfinite(val_loss)
+            ):
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch}: train={train_loss} "
+                    f"val={val_loss}; last good checkpoint is epoch "
+                    f"{epoch - 1 if epoch else 'none'}"
+                )
+
             history["train_loss"].append(train_loss)
             history["val_loss"].append(val_loss)
 

@@ -1,3 +1,4 @@
 from .colormap import depth_to_inferno, save_depth
+from .profiling import DeviceProfile, profile_fn
 
-__all__ = ["depth_to_inferno", "save_depth"]
+__all__ = ["depth_to_inferno", "save_depth", "DeviceProfile", "profile_fn"]

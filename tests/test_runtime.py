@@ -122,3 +122,18 @@ def test_graft_entry_single_chip():
     fn, args = ge.entry()
     lowered = jax.jit(fn).lower(*args)
     assert lowered is not None  # compiles single-chip
+
+
+def test_profile_fn_runs_on_cpu():
+    """profile_fn completes and returns a (possibly empty) profile on
+    backends without device trace events (CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nconv_tpu.utils import profile_fn
+
+    f = jax.jit(lambda x: jnp.tanh(x @ x).sum())
+    p = profile_fn(f, jnp.ones((64, 64)), n_iters=2)
+    assert p.n_iters == 2
+    assert p.ms_per_iter >= 0.0
+    assert "device time" in p.report()

@@ -223,3 +223,19 @@ def test_checkpoint_resume(tmp_path):
     assert any("resume" in m for m in msgs)
     assert len(r2.history["val_loss"]) == 3  # 2 restored + 1 new
     ckpts.close()
+
+
+def test_nan_watchdog_raises():
+    """Failure detection: a diverged (non-finite) loss aborts with a clear
+    error instead of silently training on garbage (SURVEY.md §5.3)."""
+    cfg = TrainConfig(
+        epochs=2,
+        batch_size=2,
+        optimizer=OptimizerConfig("adamw", 1e10, 0.0),  # guaranteed blow-up
+        log_every=0,
+    )
+    bad = synth_batch(2)
+    bad["gt"] = bad["gt"] * np.inf  # poison the target
+    trainer = Trainer(UnguidedTask(), cfg, log_fn=quiet)
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        trainer.fit(lambda: iter([bad]), lambda: iter([bad]), resume=False)
