@@ -61,15 +61,16 @@ class UpCat(nn.Module):
 
     features: int
     dtype: Any = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, rgb_skip, fusion, depth, train: bool = False):
         fout = Basic2dTrans(self.features, dtype=self.dtype, name="upf")(
             jnp.concatenate([depth, fusion], -1), train
         )
-        fout = Basic2d(self.features, dtype=self.dtype, name="conv")(
-            jnp.concatenate([fout, rgb_skip], -1), train
-        )
+        fout = Basic2d(
+            self.features, dtype=self.dtype, backend=self.backend, name="conv"
+        )(jnp.concatenate([fout, rgb_skip], -1), train)
         return fout
 
 
@@ -80,15 +81,19 @@ class NewFusionBlock(nn.Module):
     rgb_channels: int
     features: int
     dtype: Any = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, depth):
-        rgb_feat = ConvBlock(self.rgb_channels, dtype=self.dtype, name="rgb_conv")(rgb)
-        depth_feat = ConvBlock(self.rgb_channels, dtype=self.dtype, name="depth_conv")(depth)
+        mk = lambda feats, name: ConvBlock(
+            feats, dtype=self.dtype, backend=self.backend, name=name
+        )
+        rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
+        depth_feat = mk(self.rgb_channels, "depth_conv")(depth)
         fused = jnp.concatenate([rgb_feat, depth_feat], -1)
-        fused = ConvBlock(self.rgb_channels, dtype=self.dtype, name="fuse_conv1")(fused)
-        fused = ConvBlock(self.features, dtype=self.dtype, name="fuse_conv2")(fused)
-        fused = ConvBlock(self.features, dtype=self.dtype, name="fuse_conv3")(fused)
+        fused = mk(self.rgb_channels, "fuse_conv1")(fused)
+        fused = mk(self.features, "fuse_conv2")(fused)
+        fused = mk(self.features, "fuse_conv3")(fused)
         return fused
 
 
@@ -98,14 +103,16 @@ class FusionResolution0(nn.Module):
     features: int
     downsample_factor: int = 8
     dtype: Any = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, dense_depth):
         depth = downscale_bilinear(dense_depth, self.downsample_factor)
-        fout = NewFusionBlock(self.features, self.features, dtype=self.dtype, name="fuse")(
-            rgb, depth
-        )
-        res = Conv3x3Head(dtype=self.dtype, name="conv")(fout)
+        fout = NewFusionBlock(
+            self.features, self.features, dtype=self.dtype,
+            backend=self.backend, name="fuse",
+        )(rgb, depth)
+        res = Conv3x3Head(dtype=self.dtype, backend=self.backend, name="conv")(fout)
         return fout, depth + res
 
 
@@ -116,17 +123,19 @@ class FusionResolutionBlock(nn.Module):
     features: int
     downsample_factor: int
     dtype: Any = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, rgb, dense_depth, prev_fusion, prev_depth, train: bool = False):
-        fout = UpCat(self.in_channels, dtype=self.dtype, name="upcat")(
-            rgb, prev_fusion, prev_depth, train
-        )
+        fout = UpCat(
+            self.in_channels, dtype=self.dtype, backend=self.backend, name="upcat"
+        )(rgb, prev_fusion, prev_depth, train)
         depth = downscale_bilinear(dense_depth, self.downsample_factor)
-        fout = NewFusionBlock(self.in_channels, self.features, dtype=self.dtype, name="fuse")(
-            fout, depth
-        )
-        res = Conv3x3Head(dtype=self.dtype, name="conv")(fout)
+        fout = NewFusionBlock(
+            self.in_channels, self.features, dtype=self.dtype,
+            backend=self.backend, name="fuse",
+        )(fout, depth)
+        res = Conv3x3Head(dtype=self.dtype, backend=self.backend, name="conv")(fout)
         return fout, depth + res
 
 
@@ -147,21 +156,25 @@ class GuidedDepthNet(nn.Module):
     # reference checkpoints (reference eval applies no kernel transform).
     step1_pos_fn: str = "softplus"
     dtype: Any = None
+    backend: str = "xla"  # 'pallas' = fused TPU kernels for stride-1 convs
 
     def setup(self):
-        self.step1 = NConvUNet(pos_fn=self.step1_pos_fn, dtype=self.dtype)
+        self.step1 = NConvUNet(
+            pos_fn=self.step1_pos_fn, dtype=self.dtype, backend=self.backend
+        )
         # Effective encoder config — the reference defines the stack twice
         # and the second block wins: 3->32 s1, 32->64 s2, 64->64 s2, 64->64 s2
         # (models/step2.py:48-51; SURVEY.md §2.3).
-        self.rgb_encoder0 = RGBEncoder(32, 1, dtype=self.dtype)
-        self.rgb_encoder1 = RGBEncoder(64, 2, dtype=self.dtype)
-        self.rgb_encoder2 = RGBEncoder(64, 2, dtype=self.dtype)
-        self.rgb_encoder3 = RGBEncoder(64, 2, dtype=self.dtype)
+        be = self.backend
+        self.rgb_encoder0 = RGBEncoder(32, 1, dtype=self.dtype, backend=be)
+        self.rgb_encoder1 = RGBEncoder(64, 2, dtype=self.dtype, backend=be)
+        self.rgb_encoder2 = RGBEncoder(64, 2, dtype=self.dtype, backend=be)
+        self.rgb_encoder3 = RGBEncoder(64, 2, dtype=self.dtype, backend=be)
 
-        self.fuse0 = FusionResolution0(64, 8, dtype=self.dtype)
-        self.fuse1 = FusionResolutionBlock(64, 64, 4, dtype=self.dtype)
-        self.fuse2 = FusionResolutionBlock(64, 32, 2, dtype=self.dtype)
-        self.fuse3 = FusionResolutionBlock(32, 32, 1, dtype=self.dtype)
+        self.fuse0 = FusionResolution0(64, 8, dtype=self.dtype, backend=be)
+        self.fuse1 = FusionResolutionBlock(64, 64, 4, dtype=self.dtype, backend=be)
+        self.fuse2 = FusionResolutionBlock(64, 32, 2, dtype=self.dtype, backend=be)
+        self.fuse3 = FusionResolutionBlock(32, 32, 1, dtype=self.dtype, backend=be)
 
     def _backbone(self, rgb0, depth0, rgb1, depth1, train: bool):
         depth = jnp.concatenate([depth0, depth1], axis=0)

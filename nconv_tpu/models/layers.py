@@ -35,7 +35,11 @@ def torch_conv_bias_init(fan_in: int) -> Callable:
 
 
 class Conv(nn.Module):
-    """Plain conv (NHWC/HWIO) with torch-default init and explicit padding."""
+    """Plain conv (NHWC/HWIO) with torch-default init and explicit padding.
+
+    ``backend='pallas'`` routes stride-1 calls through the fused (B,H,C,W)
+    row-matmul kernel (``ops.pallas_conv``), with optional fused ReLU.
+    """
 
     features: int
     kernel_size: int = 3
@@ -43,6 +47,8 @@ class Conv(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: Any = None
+    backend: str = "xla"
+    fuse_relu: bool = False  # pallas path only; xla path ignores it
 
     @nn.compact
     def __call__(self, x):
@@ -57,13 +63,27 @@ class Conv(nn.Module):
             else None
         )
         dtype = self.dtype or x.dtype
-        return conv2d(
+        if self.backend == "pallas" and self.stride == 1:
+            from ..ops.pallas_conv import conv2d_pallas
+
+            out = conv2d_pallas(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                None if bias is None else bias,
+                padding=self.padding,
+                relu=self.fuse_relu,
+            )
+            return out
+        out = conv2d(
             x.astype(dtype),
             kernel.astype(dtype),
             None if bias is None else bias,
             stride=self.stride,
             padding=self.padding,
         )
+        if self.fuse_relu:
+            out = nn.relu(out)
+        return out
 
 
 class ConvTranspose(nn.Module):
@@ -115,14 +135,18 @@ class BatchNorm(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """conv3x3(bias) + ReLU, no norm (reference `models/step2.py:290-297`)."""
+    """conv3x3(bias) + ReLU, no norm (reference `models/step2.py:290-297`).
+    With the pallas backend the ReLU is fused into the conv's row store."""
 
     features: int
     dtype: Any = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, x):
-        return nn.relu(Conv(self.features, dtype=self.dtype)(x))
+        return Conv(
+            self.features, dtype=self.dtype, backend=self.backend, fuse_relu=True
+        )(x)
 
 
 class Basic2d(nn.Module):
@@ -132,10 +156,14 @@ class Basic2d(nn.Module):
     features: int
     use_norm: bool = True
     dtype: Any = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Conv(self.features, use_bias=not self.use_norm, dtype=self.dtype)(x)
+        x = Conv(
+            self.features, use_bias=not self.use_norm, dtype=self.dtype,
+            backend=self.backend,
+        )(x)
         if self.use_norm:
             x = BatchNorm(dtype=self.dtype)(x, train)
         return nn.relu(x)
@@ -164,10 +192,14 @@ class RGBEncoder(nn.Module):
     features: int
     stride: int = 1
     dtype: Any = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = Conv(self.features, stride=self.stride, dtype=self.dtype)(x)
+        out = Conv(
+            self.features, stride=self.stride, dtype=self.dtype,
+            backend=self.backend,
+        )(x)
         out = BatchNorm(dtype=self.dtype)(out, train)
         out = nn.relu(out)
         shortcut = Conv(
@@ -177,6 +209,7 @@ class RGBEncoder(nn.Module):
             padding=0,
             use_bias=False,
             dtype=self.dtype,
+            backend=self.backend,
         )(x)
         return out + shortcut
 
@@ -190,7 +223,8 @@ class Conv3x3Head(nn.Module):
     """
 
     dtype: Any = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, x):
-        return Conv(1, use_bias=False, dtype=self.dtype)(x)
+        return Conv(1, use_bias=False, dtype=self.dtype, backend=self.backend)(x)

@@ -33,6 +33,9 @@ class NConv2d(nn.Module):
     bias_value: float = 0.01  # reference inits bias to 0.01 (step1.py:172)
     eps: float = 1e-7
     dtype: Any = None
+    # 'xla' = stacked-batch conv; 'pallas' = fused NCHW kernel (TPU hot path,
+    # stride 1 only)
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, data, conf):
@@ -45,6 +48,18 @@ class NConv2d(nn.Module):
             "bias", nn.initializers.constant(self.bias_value), (self.features,)
         )
         dtype = self.dtype or data.dtype
+        if self.backend == "pallas" and self.stride == 1:
+            from ..ops.pallas_nconv_mxu import nconv2d_pallas_mxu
+
+            return nconv2d_pallas_mxu(
+                data.astype(dtype),
+                conf.astype(dtype),
+                kernel.astype(dtype),
+                bias.astype(dtype),
+                padding=self.padding,
+                pos_fn=self.pos_fn,
+                eps=self.eps,
+            )
         return nconv2d(
             data.astype(dtype),
             conf.astype(dtype),

@@ -38,13 +38,14 @@ class NConvUNet(nn.Module):
     num_channels: int = 8
     pos_fn: str = "softplus"
     dtype: Any = None
+    backend: str = "xla"  # 'pallas' = fused NCHW kernels for the hot path
 
     @nn.compact
     def __call__(self, sparse):
         c = self.num_channels
         mk = lambda feats, ks, pad, init="p", name=None: NConv2d(
             feats, ks, pad, pos_fn=self.pos_fn, init_method=init,
-            dtype=self.dtype, name=name,
+            dtype=self.dtype, backend=self.backend, name=name,
         )
 
         x0 = sparse

@@ -1,0 +1,230 @@
+"""MXU-based fused Pallas kernel for normalized convolution.
+
+Layout insight: store activations as **(B, H, C, W)** — channels in the
+sublane dimension, width in lanes. Then for every output row h, the im2col
+matrix for a kh-tall convolution window is just the contiguous row block
+``X[h : h + kh]`` *reshaped* from (kh, C, W) to (kh*C, W) — a tile-stacking
+view (free when C is a multiple of the 8-sublane granule; channels are
+padded up accordingly). The convolution at row h becomes kw small MXU
+matmuls
+
+    out_row(2Co, W) += W2[dx] (2Co, kh*2Cin) @ A[:, dx : dx + W]
+
+accumulated over the horizontal taps dx, where the 2x factors come from
+computing the shared-kernel numerator (data*conf) and denominator (conf)
+convolutions together: the input stacks [dc ; c] along C and W2 is block
+diagonal, so one pass yields both. The fused epilogue (divide, bias,
+confidence normalization) runs on the row before it is stored.
+
+Compared to XLA's lowering of these 8-channel convolutions (channels padded
+into the 128-lane dimension: 16x inflated HBM tensors, ~1.1 ms per full-res
+5x5 layer plus layout copies), this keeps HBM traffic at the logical size
+and the program tiny (a fori_loop over rows — it also compiles fast through
+the remote Mosaic path, unlike unrolled tap kernels).
+
+H-tiles need a (kh-1)-row halo, which BlockSpec index maps cannot express;
+the padded input therefore stays in HBM and each grid step DMAs its halo
+slice into VMEM scratch (lane dim 128-aligned for the DMA).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nconv import EPS_DEFAULT, POS_FNS
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(x_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs, sem,
+            *, kh: int, kw: int, cin2: int, cout: int, th: int, w_out: int,
+            eps: float):
+    """Grid step = one (batch, H-tile) block.
+
+    x_hbm:   (B, Hp, cin2, wp) padded input in HBM — each step DMAs its
+             (th + kh - 1)-row halo slice into the VMEM scratch ``xs``
+             (BlockSpec index maps cannot express overlapping tiles)
+    w2_ref:  (kw, 2*cout, kh*cin2)      block-diagonal tap matrices
+    bias_ref/wsum_ref: (cout, 1)
+    out_ref/cout_ref:  (1, th, cout, w_out)
+    """
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(hi * th, th + kh - 1)], xs, sem
+    )
+    dma.start()
+    dma.wait()
+
+    f32 = jnp.float32
+    k_rows = kh * cin2
+    wp = xs.shape[-1]
+    bias_col = bias_ref[:, :]
+    wsum_col = wsum_ref[:, :]
+
+    def row(h, _):
+        a = xs[pl.ds(h, kh)].reshape(k_rows, wp)
+        acc = jnp.zeros((2 * cout, w_out), f32)
+        for dx in range(kw):
+            acc += lax.dot_general(
+                w2_ref[dx],
+                a[:, dx : dx + w_out],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        nomin = acc[:cout]
+        denom = acc[cout:]
+        out_ref[0, h] = (nomin / (denom + eps) + bias_col).astype(out_ref.dtype)
+        cout_ref[0, h] = (denom / wsum_col).astype(cout_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, th, row, 0)
+
+
+def build_tap_matrices(w_pos: jax.Array, cin_pad: int) -> tuple[jax.Array, jax.Array]:
+    """HWIO non-negative kernel -> (w2, wsum).
+
+    A-row ordering is (dy, half, ci) with halves [dc ; c] each ``cin_pad``
+    channels (zero-padded past the real cin). w2[dx]: (2*Cout, kh*2*cin_pad)
+    with nomin rows contracting the dc half and denom rows the c half.
+    """
+    kh, kw, cin, cout = w_pos.shape
+    w_t = jnp.transpose(w_pos, (1, 3, 0, 2))  # (kw, cout, kh, cin)
+    if cin_pad != cin:
+        w_t = jnp.pad(w_t, ((0, 0), (0, 0), (0, 0), (0, cin_pad - cin)))
+    zeros = jnp.zeros_like(w_t)
+    nomin = jnp.stack([w_t, zeros], axis=3)  # (kw, cout, kh, 2, cin_pad)
+    denom = jnp.stack([zeros, w_t], axis=3)
+    w2 = jnp.concatenate([nomin, denom], axis=1)  # (kw, 2cout, kh, 2, cin_pad)
+    w2 = w2.reshape(kw, 2 * cout, kh * 2 * cin_pad)
+    wsum = jnp.sum(w_pos, axis=(0, 1, 2))
+    return w2, wsum
+
+
+def nconv2d_pallas_mxu_bhcw(
+    data: jax.Array,
+    conf: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    padding: int = 0,
+    pos_fn: str = "softplus",
+    eps: float = EPS_DEFAULT,
+    tile_h: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Normalized conv on (B, H, C, W)-layout operands (stride 1).
+
+    The native entry point for chains: layers stay in BHCW end to end, so
+    the NHWC<->BHCW transpose happens only at graph boundaries.
+    """
+    kh, kw, cin, cout = kernel.shape
+    b, h, cin_in, w = data.shape
+    assert cin_in == cin, (cin_in, cin)
+    p = padding
+    h_out = h + 2 * p - (kh - 1)
+    w_out = w + 2 * p - (kw - 1)
+
+    # channels padded so 2*cin_pad is a sublane-granule multiple (the row
+    # reshape then stays a pure tile stacking)
+    cin_pad = max(_round_up(cin, 4), 4)
+    w_pos = POS_FNS[pos_fn](kernel)
+    w2, wsum = build_tap_matrices(w_pos, cin_pad)
+    if bias is None:
+        bias = jnp.zeros((cout,), data.dtype)
+
+    dc = data * conf
+    c = conf
+    if cin_pad != cin:
+        zpad = ((0, 0), (0, 0), (0, cin_pad - cin), (0, 0))
+        dc = jnp.pad(dc, zpad)
+        c = jnp.pad(c, zpad)
+    x = jnp.concatenate([dc, c], axis=2)  # (B, H, 2*cin_pad, W)
+    cin2 = 2 * cin_pad
+
+    if tile_h is None:
+        from .pallas_conv import auto_tile_h
+
+        itemsize = jnp.dtype(data.dtype).itemsize
+        tile_h = auto_tile_h(
+            cin2 * (w + 2 * p) * itemsize,
+            2 * cout * w_out * itemsize,  # two outputs (depth + confidence)
+            kh,
+            h_out,
+        )
+    th = min(tile_h, h_out)
+    n_tiles = -(-h_out // th)
+    extra_h = n_tiles * th + (kh - 1) - (h + 2 * p)
+    # lane (W) dim padded to a 128 multiple: DMA slices must be tile-aligned
+    wp = _round_up(w + 2 * p, 128)
+    x_p = jnp.pad(
+        x, ((0, 0), (p, p + max(extra_h, 0)), (0, 0), (p, wp - w - p))
+    )
+
+    kfun = functools.partial(
+        _kernel, kh=kh, kw=kw, cin2=cin2, cout=cout, th=th, w_out=w_out, eps=eps,
+    )
+    block_out = pl.BlockSpec(
+        (1, th, cout, w_out), lambda bi, hi: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out, cout_arr = pl.pallas_call(
+        kfun,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[block_out, block_out],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_tiles * th, cout, w_out), data.dtype),
+            jax.ShapeDtypeStruct((b, n_tiles * th, cout, w_out), data.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th + kh - 1, cin2, wp), data.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(x_p, w2, bias.reshape(-1, 1), wsum.reshape(-1, 1))
+
+    if n_tiles * th != h_out:
+        out = out[:, :h_out]
+        cout_arr = cout_arr[:, :h_out]
+    return out, cout_arr
+
+
+def nconv2d_pallas_mxu(
+    data: jax.Array,
+    conf: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    padding: int = 0,
+    pos_fn: str = "softplus",
+    eps: float = EPS_DEFAULT,
+    tile_h: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """NHWC drop-in for :func:`nconv_tpu.ops.nconv2d` (stride 1), backed by
+    the (B, H, C, W) MXU kernel. Chains should prefer the BHCW-native
+    entry point to avoid per-layer transposes."""
+    out, cout_arr = nconv2d_pallas_mxu_bhcw(
+        jnp.transpose(data, (0, 1, 3, 2)),
+        jnp.transpose(conf, (0, 1, 3, 2)),
+        kernel,
+        bias,
+        padding=padding,
+        pos_fn=pos_fn,
+        eps=eps,
+        tile_h=tile_h,
+    )
+    return (
+        jnp.transpose(out, (0, 1, 3, 2)),
+        jnp.transpose(cout_arr, (0, 1, 3, 2)),
+    )

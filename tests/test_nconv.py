@@ -122,3 +122,42 @@ def test_nconv_gradients_flow():
     g = jax.grad(loss)(jnp.asarray(rand(3, 3, 1, 2)))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_pallas_backend_matches_xla_interpret():
+    """NConv2d(backend='pallas') == backend='xla' in interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nconv_tpu.models import NConv2d
+
+    d = jnp.asarray(RNG.standard_normal((1, 24, 32, 8)).astype(np.float32))
+    c = jnp.asarray((RNG.random((1, 24, 32, 8)) > 0.5).astype(np.float32))
+    m_x = NConv2d(8, 5, 2, backend="xla")
+    m_p = NConv2d(8, 5, 2, backend="pallas")
+    v = m_x.init(jax.random.key(0), d, c)
+    ox, cx = m_x.apply(v, d, c)
+    with pltpu.force_tpu_interpret_mode():
+        op, cp = m_p.apply(v, d, c)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ox), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cx), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_unguided_unet_matches_xla_interpret():
+    """Full NConvUNet with the pallas backend == xla backend."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nconv_tpu.models import NConvUNet
+
+    d = jnp.asarray(
+        (RNG.random((1, 48, 64, 1)) * (RNG.random((1, 48, 64, 1)) < 0.1)).astype(
+            np.float32
+        )
+    )
+    m_x = NConvUNet(backend="xla")
+    m_p = NConvUNet(backend="pallas")
+    v = m_x.init(jax.random.key(0), d)
+    ox, cx = m_x.apply(v, d)
+    with pltpu.force_tpu_interpret_mode():
+        op, cp = m_p.apply(v, d)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ox), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cx), rtol=1e-4, atol=1e-5)
