@@ -156,11 +156,18 @@ class GuidedDepthNet(nn.Module):
     # reference checkpoints (reference eval applies no kernel transform).
     step1_pos_fn: str = "softplus"
     dtype: Any = None
+    # Mixed precision: set dtype=bf16 with step1_dtype=f32 to run the RGB /
+    # fusion feature convs in bf16 while the unguided densifier and every
+    # depth tensor stay f32 (the per-scale residual adds promote bf16
+    # residuals back to f32, so depth never loses mantissa).
+    step1_dtype: Any = None  # None = follow `dtype`
     backend: str = "xla"  # 'pallas' = fused TPU kernels for stride-1 convs
 
     def setup(self):
         self.step1 = NConvUNet(
-            pos_fn=self.step1_pos_fn, dtype=self.dtype, backend=self.backend
+            pos_fn=self.step1_pos_fn,
+            dtype=self.step1_dtype if self.step1_dtype is not None else self.dtype,
+            backend=self.backend,
         )
         # Effective encoder config — the reference defines the stack twice
         # and the second block wins: 3->32 s1, 32->64 s2, 64->64 s2, 64->64 s2

@@ -85,14 +85,24 @@ class StreamingEngine:
         self.variables = jax.device_put(variables)
         scale = self.DEPTH_SCALE
 
+        # decode straight into the dtypes the model consumes: RGB into the
+        # feature compute dtype (bf16 in mixed mode — skips a full-res f32
+        # materialization), depth into the step-1/depth-path dtype
+        rgb_dtype = getattr(self.model, "dtype", None) or compute_dtype
+        depth_dtype = (
+            getattr(self.model, "step1_dtype", None)
+            or getattr(self.model, "dtype", None)
+            or compute_dtype
+        )
+
         def forward(variables, rgb0, d0, rgb1, d1):
             # in-graph preprocessing: decode wire dtypes; keeps the whole
             # frame path in one dispatch
-            f = lambda x: x.astype(compute_dtype)
+            f = lambda x: x.astype(rgb_dtype)
             dec = (
-                (lambda x: x.astype(compute_dtype) / scale)
+                (lambda x: x.astype(depth_dtype) / scale)
                 if self.depth_wire_dtype == np.uint16
-                else f
+                else (lambda x: x.astype(depth_dtype))
             )
             out0, out1 = self.model.apply(
                 variables, f(rgb0), dec(d0), f(rgb1), dec(d1),
