@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--width", type=int, default=1216)
     pb.add_argument("--frames", type=int, default=200)
     pb.add_argument("--checkpoint", default=None)
+    pb.add_argument("--backend", choices=["xla", "pallas"], default="pallas")
+    pb.add_argument(
+        "--throughput", action="store_true",
+        help="batched multi-stream bf16 throughput instead of latency",
+    )
+    pb.add_argument("--batch", type=int, default=8)
 
     pp = sub.add_parser("profile", help="per-op device-time profile of the guided net")
     pp.add_argument("--height", type=int, default=352)
@@ -262,21 +268,36 @@ def cmd_export(args) -> int:
 
 def cmd_bench(args) -> int:
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from .models import GuidedDepthNet
-    from .runtime import StreamingEngine, benchmark
+    from .runtime import StreamingEngine, benchmark, benchmark_throughput
     from .training import load_best
 
     h, w = args.height, args.width
-    model = GuidedDepthNet()
+    # pallas kernels need a TPU (platform may be named 'tpu' or a tunneled
+    # variant like 'axon'); fall back to the XLA path on cpu/gpu
+    backend = args.backend if jax.default_backend() not in ("cpu", "gpu", "cuda") else "xla"
+    model = GuidedDepthNet(backend=backend)
     if args.checkpoint:
         variables = load_best(args.checkpoint)
     else:
         rng = np.random.default_rng(0)
         rgb = np.asarray(rng.random((1, h, w, 3)), np.float32)
         d = np.asarray(rng.random((1, h, w, 1)), np.float32)
-        variables = model.init(jax.random.key(0), rgb, d, rgb, d)
+        variables = GuidedDepthNet().init(jax.random.key(0), rgb, d, rgb, d)
+    if args.throughput:
+        # BASELINE config #5: batched multi-stream bf16 throughput
+        fps = benchmark_throughput(
+            variables,
+            height=h,
+            width=w,
+            batch=args.batch,
+            model=GuidedDepthNet(backend=backend, dtype=jnp.bfloat16),
+        )
+        print(json.dumps({"throughput_fps": round(fps, 2), "batch": args.batch}))
+        return 0
     engine = StreamingEngine(variables, height=h, width=w, model=model)
     engine.warmup()
     stats = benchmark(engine, n_frames=args.frames)

@@ -7,6 +7,7 @@ from .datasets import (
     KITTISelValDataset,
     KITTITestDataset,
     NYUDataset,
+    NYUTestDataset,
     VOIDDataset,
     crop_top_center,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "KITTISelValDataset",
     "KITTITestDataset",
     "NYUDataset",
+    "NYUTestDataset",
     "VOIDDataset",
     "crop_top_center",
     "Loader",

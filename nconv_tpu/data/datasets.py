@@ -108,6 +108,32 @@ class NYUDataset:
 
 
 @dataclass
+class NYUTestDataset:
+    """NYU test split: rgb + sparse depth only, no crop, fixed test
+    intrinsics (`nyuloader.py:126-170`)."""
+
+    root: str
+    mode: str = "test"
+
+    def __post_init__(self):
+        j = os.path.join
+        self.lidar_files = sorted(glob.glob(j(self.root, self.mode, "depth", "*.npy")))
+        self.rgb_files = sorted(glob.glob(j(self.root, self.mode, "img", "*.png")))
+
+    def __len__(self):
+        return len(self.lidar_files)
+
+    def __getitem__(self, index: int) -> dict:
+        rgb = io.load_rgb(self.rgb_files[index])
+        depth = io.load_npy_depth(self.lidar_files[index], (480, 640))
+        return {
+            "rgb": rgb,
+            "depth": _hw1(depth.astype(np.float32)),
+            "k": NYU_TEST_K.copy(),
+        }
+
+
+@dataclass
 class KITTIDataset:
     """KITTI depth completion train/val: ``data_depth_annotated`` +
     ``data_depth_velodyne`` + ``raw`` RGB (`kittiloader.py:25-94`)."""

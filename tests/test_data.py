@@ -308,3 +308,25 @@ def test_prefetch_to_device_order_and_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(prefetch_to_device(bad_iter(), lambda b: b))
+
+
+def test_nyu_test_dataset(tmp_path):
+    from PIL import Image
+
+    from nconv_tpu.data import NYUTestDataset
+
+    root = tmp_path / "nyu"
+    for sub in ["test/depth", "test/img"]:
+        (root / sub).mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        np.save(root / "test/depth" / f"{i}.npy", rng.random((480, 640)).astype(np.float32))
+        Image.fromarray((rng.random((480, 640, 3)) * 255).astype(np.uint8)).save(
+            root / "test/img" / f"{i}.png"
+        )
+    ds = NYUTestDataset(str(root))
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["rgb"].shape == (480, 640, 3)
+    assert s["depth"].shape == (480, 640, 1)
+    assert "gt" not in s
