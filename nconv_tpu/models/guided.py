@@ -85,15 +85,25 @@ class NewFusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, rgb, depth):
+        layout = "bhcw" if self.backend == "pallas" else "nhwc"
         mk = lambda feats, name: ConvBlock(
-            feats, dtype=self.dtype, backend=self.backend, name=name
+            feats, dtype=self.dtype, backend=self.backend, layout=layout,
+            name=name,
         )
+        if layout == "bhcw":
+            # run the whole 5-conv chain in (B, H, C, W): one transpose in
+            # per input, one out, instead of two per conv
+            rgb = jnp.transpose(rgb, (0, 1, 3, 2))
+            depth = jnp.transpose(depth, (0, 1, 3, 2))
+        cat_axis = 2 if layout == "bhcw" else -1
         rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
         depth_feat = mk(self.rgb_channels, "depth_conv")(depth)
-        fused = jnp.concatenate([rgb_feat, depth_feat], -1)
+        fused = jnp.concatenate([rgb_feat, depth_feat], cat_axis)
         fused = mk(self.rgb_channels, "fuse_conv1")(fused)
         fused = mk(self.features, "fuse_conv2")(fused)
         fused = mk(self.features, "fuse_conv3")(fused)
+        if layout == "bhcw":
+            fused = jnp.transpose(fused, (0, 1, 3, 2))
         return fused
 
 

@@ -48,11 +48,14 @@ class Conv(nn.Module):
     use_bias: bool = True
     dtype: Any = None
     backend: str = "xla"
-    fuse_relu: bool = False  # pallas path only; xla path ignores it
+    fuse_relu: bool = False  # pallas path only; xla path applies relu after
+    # 'nhwc' (default) or 'bhcw': with 'bhcw' the call takes and returns
+    # (B, H, C, W) so chained pallas convs skip per-layer transposes
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = x.shape[-1] if self.layout == "nhwc" else x.shape[2]
         k = self.kernel_size
         kernel = self.param(
             "kernel", torch_conv_kernel_init, (k, k, cin, self.features)
@@ -63,6 +66,17 @@ class Conv(nn.Module):
             else None
         )
         dtype = self.dtype or x.dtype
+        if self.layout == "bhcw":
+            from ..ops.pallas_conv import conv2d_pallas_bhcw
+
+            assert self.backend == "pallas" and self.stride == 1
+            return conv2d_pallas_bhcw(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                None if bias is None else bias,
+                padding=self.padding,
+                relu=self.fuse_relu,
+            )
         if self.backend == "pallas" and self.stride == 1:
             from ..ops.pallas_conv import conv2d_pallas
 
@@ -141,11 +155,13 @@ class ConvBlock(nn.Module):
     features: int
     dtype: Any = None
     backend: str = "xla"
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x):
         return Conv(
-            self.features, dtype=self.dtype, backend=self.backend, fuse_relu=True
+            self.features, dtype=self.dtype, backend=self.backend,
+            fuse_relu=True, layout=self.layout,
         )(x)
 
 
