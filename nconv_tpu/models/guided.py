@@ -65,9 +65,9 @@ class UpCat(nn.Module):
 
     @nn.compact
     def __call__(self, rgb_skip, fusion, depth, train: bool = False):
-        fout = Basic2dTrans(self.features, dtype=self.dtype, name="upf")(
-            jnp.concatenate([depth, fusion], -1), train
-        )
+        fout = Basic2dTrans(
+            self.features, dtype=self.dtype, backend=self.backend, name="upf"
+        )(jnp.concatenate([depth, fusion], -1), train)
         fout = Basic2d(
             self.features, dtype=self.dtype, backend=self.backend, name="conv"
         )(jnp.concatenate([fout, rgb_skip], -1), train)

