@@ -76,6 +76,23 @@ def main() -> None:
     # transport round trip per frame (tiny on PCIe; tens of ms on the
     # relay), reported with wire size so transport-bound numbers are
     # interpretable.
+    # XLA-trace device time: the purest per-frame number — excludes the
+    # tunnel's ~2ms/frame dispatch overhead that a local host wouldn't pay
+    trace_ms = None
+    try:
+        from nconv_tpu.utils import profile_fn
+
+        rng2 = np.random.default_rng(1)
+        r_s = engine._stage((rng2.random((h, w, 3)) * 255).astype(np.float32), 3)
+        d_s = engine._stage((rng2.random((h, w)) * 80).astype(np.float32), 1)
+        prof = profile_fn(
+            lambda: engine._fn(engine.variables, r_s, d_s, r_s, d_s), n_iters=3
+        )
+        if prof.ms_per_iter > 0:
+            trace_ms = prof.ms_per_iter
+    except Exception:
+        pass
+
     target_fps = 60.0
     # p50-based: the shared TPU tunnel shows rare multi-frame stalls that
     # poison a mean but not the median
@@ -92,6 +109,8 @@ def main() -> None:
         "e2e_p50_ms": round(e2e.p50_ms, 3) if e2e else None,
         "f32_fps": round(1000.0 / f32_ms, 2),
         "f32_ms": round(f32_ms, 3),
+        "trace_ms": round(trace_ms, 3) if trace_ms else None,
+        "trace_fps": round(1000.0 / trace_ms, 2) if trace_ms else None,
         "wire_mb_per_frame": round(engine.wire_bytes_per_frame / 1e6, 2),
         "platform": str(jax.devices()[0]),
     }
