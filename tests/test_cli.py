@@ -104,3 +104,50 @@ def test_eval_command(tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(stats) >= {"rmse", "mae", "irmse", "imae", "delta1"}
     assert stats["rmse"] > 0
+
+
+def test_infer_command(tmp_path, capsys):
+    from PIL import Image
+
+    from nconv_tpu.data import io as dio
+
+    ckdir = str(tmp_path / "ck")
+    rc = main(
+        [
+            "train-step2",
+            "--dataset", "synthetic", "--epochs", "1", "--batch-size", "1",
+            "--height", "96", "--width", "128", "--limit", "2",
+            "--checkpoint-dir", ckdir, "--name", "g", "--num-workers", "0",
+        ]
+    )
+    assert rc == 0
+    rng = np.random.default_rng(0)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(2):
+        Image.fromarray((rng.random((96, 128, 3)) * 255).astype(np.uint8)).save(
+            frames / f"{i}_rgb.png"
+        )
+        dio.save_depth_png16(
+            str(frames / f"{i}_depth.png"),
+            (rng.random((96, 128)) * 5 * (rng.random((96, 128)) < 0.1)).astype(
+                np.float32
+            ),
+        )
+    outdir = tmp_path / "out"
+    rc = main(
+        [
+            "infer",
+            "--checkpoint", os.path.join(ckdir, "g"),
+            "--rgb-glob", str(frames / "*_rgb.png"),
+            "--depth-glob", str(frames / "*_depth.png"),
+            "--out-dir", str(outdir),
+            "--height", "96", "--width", "128",
+        ]
+    )
+    assert rc == 0
+    outs = sorted(os.listdir(outdir))
+    assert any(f.endswith("_depth.png") for f in outs)
+    assert any(f.endswith("_vis.png") for f in outs)
+    dense = dio.load_depth_png16(str(outdir / "0_rgb_depth.png"))
+    assert dense.shape == (96, 128) and np.isfinite(dense).all()
