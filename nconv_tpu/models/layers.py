@@ -65,13 +65,17 @@ class Conv(nn.Module):
             if self.use_bias
             else None
         )
-        dtype = self.dtype or x.dtype
+        is_int = jnp.issubdtype(x.dtype, jnp.integer)
+        dtype = self.dtype or (jnp.float32 if is_int else x.dtype)
+        # integer (wire-format) inputs pass straight into the pallas kernels,
+        # which decode them in VMEM — no XLA-level float materialization
+        xin = x if (is_int and self.backend == "pallas") else x.astype(dtype)
         if self.layout == "bhcw":
             from ..ops.pallas_conv import conv2d_pallas_bhcw
 
             assert self.backend == "pallas" and self.stride == 1
             return conv2d_pallas_bhcw(
-                x.astype(dtype),
+                xin,
                 kernel.astype(dtype),
                 None if bias is None else bias,
                 padding=self.padding,
@@ -81,7 +85,7 @@ class Conv(nn.Module):
             from ..ops.pallas_conv import conv2d_pallas
 
             out = conv2d_pallas(
-                x.astype(dtype),
+                xin,
                 kernel.astype(dtype),
                 None if bias is None else bias,
                 padding=self.padding,
@@ -89,7 +93,7 @@ class Conv(nn.Module):
             )
             return out
         out = conv2d(
-            x.astype(dtype),
+            xin.astype(dtype),
             kernel.astype(dtype),
             None if bias is None else bias,
             stride=self.stride,

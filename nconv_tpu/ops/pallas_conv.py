@@ -80,7 +80,13 @@ def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
     # computes all of them, amortizing loop and matmul-issue overhead.
     def group(i, _):
         h0 = i * g
-        a = xs[pl.ds(h0, kh + g - 1)].reshape(k_rows, wp)
+        a = xs[pl.ds(h0, kh + g - 1)]
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            # fused wire decode: integer camera input converts to float in
+            # VMEM, so the u8 frame never round-trips HBM as floats.
+            # (Mosaic lacks a direct u8->f32 cast; widen to i32 first.)
+            a = a.astype(jnp.int32).astype(f32)
+        a = a.reshape(k_rows, wp)
         acc = jnp.zeros((g * cout, w_out), f32)
         for dx in range(kw):
             acc += lax.dot_general(
@@ -109,10 +115,12 @@ def conv2d_pallas_bhcw(
     tile_h: int | None = None,
 ) -> jax.Array:
     """Stride-1 conv on (B, H, C, W) operands; kernel HWIO. Fuses bias and
-    optional ReLU. Returns (B, H_out, Cout, W_out)."""
+    optional ReLU. Integer inputs (uint8 camera frames) are decoded to float
+    inside the kernel. Returns (B, H_out, Cout, W_out) in the kernel dtype."""
     kh, kw, cin, cout = kernel.shape
     b, h, cin_in, w = x.shape
     assert cin_in == cin, (cin_in, cin)
+    out_dtype = kernel.dtype if jnp.issubdtype(x.dtype, jnp.integer) else x.dtype
     p = padding
     h_out = h + 2 * p - (kh - 1)
     w_out = w + 2 * p - (kw - 1)
@@ -159,7 +167,7 @@ def conv2d_pallas_bhcw(
     )
 
     use_bias = bias is not None
-    bias_arr = (bias if use_bias else jnp.zeros((cout,), x.dtype))
+    bias_arr = (bias if use_bias else jnp.zeros((cout,), out_dtype))
     bias_arr = jnp.tile(bias_arr, g).reshape(-1, 1)  # (g*cout, 1)
 
     kfun = functools.partial(
@@ -178,7 +186,7 @@ def conv2d_pallas_bhcw(
             (1, th, cout, w_out), lambda bi, hi: (bi, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * th, cout, w_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * th, cout, w_out), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((th + kh - 1, cin_p, wp), x.dtype),
             pltpu.SemaphoreType.DMA,

@@ -94,11 +94,18 @@ class StreamingEngine:
             or getattr(self.model, "dtype", None)
             or compute_dtype
         )
+        # with pallas kernels the uint8 frame goes straight into the first
+        # convolutions, which decode it in VMEM
+        pass_int_rgb = getattr(self.model, "backend", "xla") == "pallas"
 
         def forward(variables, rgb0, d0, rgb1, d1):
             # in-graph preprocessing: decode wire dtypes; keeps the whole
             # frame path in one dispatch
-            f = lambda x: x.astype(rgb_dtype)
+            f = (
+                (lambda x: x)
+                if (pass_int_rgb and jnp.issubdtype(rgb0.dtype, jnp.integer))
+                else (lambda x: x.astype(rgb_dtype))
+            )
             dec = (
                 (lambda x: x.astype(depth_dtype) / scale)
                 if self.depth_wire_dtype == np.uint16
