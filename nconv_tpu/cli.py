@@ -18,10 +18,20 @@ import sys
 
 
 def _add_train_common(p: argparse.ArgumentParser):
-    p.add_argument("--dataset", choices=["nyu", "void", "kitti", "synthetic"], default="synthetic")
+    p.add_argument(
+        "--dataset",
+        choices=["nyu", "void", "kitti", "kitti_selval", "kitti_test", "synthetic"],
+        default="synthetic",
+    )
     p.add_argument("--root", default=None, help="dataset root directory")
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--eval-batch-size", type=int, default=1)
+    p.add_argument(
+        "--dump-images-every", type=int, default=0,
+        help="dump colormapped pred/sparse/gt PNGs every N train batches",
+    )
+    p.add_argument("--image-dir", default="tmp")
     p.add_argument("--lr", type=float, nargs="+", default=[1e-2])
     p.add_argument("--weight-decay", type=float, nargs="+", default=[1e-7])
     p.add_argument("--optimizer", choices=["adamw", "sgd", "rmsprop"], default="adamw")
@@ -46,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     p1 = sub.add_parser("train-step1", help="train the unguided NConv densifier")
     _add_train_common(p1)
+    p1.add_argument(
+        "--two-stream", action="store_true",
+        help="train through the two-stream batch-concat form "
+             "(reference void_train_step1.py:61-63)",
+    )
 
     p2 = sub.add_parser("train-step2", help="train the RGB-guided fusion net")
     _add_train_common(p2)
@@ -66,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--checkpoint", default=None)
     pb.add_argument("--backend", choices=["xla", "pallas"], default="pallas")
     pb.add_argument(
+        "--pos-fn", choices=["softplus", "identity", "exp", "sigmoid", "softmax"],
+        default="softplus",
+        help="step-1 kernel transform; use 'identity' for checkpoints "
+             "converted with --kernel-mode raw",
+    )
+    pb.add_argument(
         "--throughput", action="store_true",
         help="batched multi-stream bf16 throughput instead of latency",
     )
@@ -76,13 +97,22 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--width", type=int, default=1216)
     pp.add_argument("--iters", type=int, default=3)
     pp.add_argument("--checkpoint", default=None)
+    pp.add_argument(
+        "--pos-fn", choices=["softplus", "identity", "exp", "sigmoid", "softmax"],
+        default="softplus",
+    )
 
     pc = sub.add_parser("convert", help="convert a reference .pth.tar checkpoint")
     pc.add_argument("--pth", required=True)
     pc.add_argument("--out", required=True)
     pc.add_argument("--model", choices=["unguided", "guided"], default="guided")
     pc.add_argument(
-        "--kernel-mode", choices=["raw", "softplus_inverse"], default="raw"
+        "--kernel-mode", choices=["raw", "softplus_inverse"],
+        default="softplus_inverse",
+        help="softplus_inverse (default) makes the converted checkpoint "
+             "work with the default pos_fn='softplus' models; 'raw' keeps "
+             "reference weights verbatim and requires --pos-fn identity at "
+             "eval/infer/bench time",
     )
 
     pv = sub.add_parser("eval", help="evaluate a checkpoint on a dataset")
@@ -91,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--model", choices=["unguided", "guided"], default="guided")
     pv.add_argument("--split", default="val")
     pv.add_argument("--max-batches", type=int, default=None)
+    pv.add_argument(
+        "--pos-fn", choices=["softplus", "identity", "exp", "sigmoid", "softmax"],
+        default="softplus",
+    )
 
     pi = sub.add_parser("infer", help="densify a directory of frames")
     pi.add_argument("--checkpoint", required=True)
@@ -99,6 +133,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--out-dir", required=True)
     pi.add_argument("--height", type=int, default=480)
     pi.add_argument("--width", type=int, default=640)
+    pi.add_argument(
+        "--pos-fn", choices=["softplus", "identity", "exp", "sigmoid", "softmax"],
+        default="softplus",
+    )
     return ap
 
 
@@ -145,7 +183,13 @@ class _Limited:
 
 
 def make_dataset(args, mode: str):
-    from .data import KITTIDataset, NYUDataset, VOIDDataset
+    from .data import (
+        KITTIDataset,
+        KITTISelValDataset,
+        KITTITestDataset,
+        NYUDataset,
+        VOIDDataset,
+    )
 
     if args.dataset == "synthetic":
         ds = _SyntheticDataset(
@@ -158,6 +202,10 @@ def make_dataset(args, mode: str):
         ds = NYUDataset(args.root, mode, args.apply_mask, args.add_noise)
     elif args.dataset == "void":
         ds = VOIDDataset(args.root, mode, use_mask=args.apply_mask)
+    elif args.dataset == "kitti_selval":
+        ds = KITTISelValDataset(args.root)
+    elif args.dataset == "kitti_test":
+        ds = KITTITestDataset(args.root)
     else:
         ds = KITTIDataset(args.root, mode)
     if args.limit:
@@ -175,7 +223,11 @@ def make_loaders(args):
         num_workers=args.num_workers,
         seed=args.seed,
     )
-    val = Loader(make_dataset(args, "val"), 1, num_workers=args.num_workers)
+    val = Loader(
+        make_dataset(args, "val"),
+        getattr(args, "eval_batch_size", 1),
+        num_workers=args.num_workers,
+    )
     return (lambda: iter(train)), (lambda: iter(val))
 
 
@@ -185,6 +237,7 @@ def _train_cfg(args, batch_reduce="mean"):
     return TrainConfig(
         epochs=args.epochs,
         batch_size=args.batch_size,
+        eval_batch_size=getattr(args, "eval_batch_size", 1),
         use_gradient_loss=not args.no_gradient_loss,
         batch_reduce=batch_reduce,
         optimizer=OptimizerConfig(args.optimizer, args.lr[0], args.weight_decay[0]),
@@ -193,6 +246,8 @@ def _train_cfg(args, batch_reduce="mean"):
         checkpoint_dir=args.checkpoint_dir,
         run_name=args.name,
         seed=args.seed,
+        dump_images_every=getattr(args, "dump_images_every", 0),
+        image_dir=getattr(args, "image_dir", "tmp"),
     )
 
 
@@ -213,16 +268,18 @@ def cmd_train_step1(args) -> int:
     cfg = _train_cfg(args)
     train_loader, val_loader = make_loaders(args)
     grid = GridSearchConfig(args.lr, args.weight_decay)
+    task_factory = lambda: UnguidedTask(two_stream=args.two_stream)
     if len(args.lr) * len(args.weight_decay) > 1:
         best, lr, wd = grid_search(
-            UnguidedTask, cfg, grid, train_loader, val_loader
+            task_factory, cfg, grid, train_loader, val_loader,
+            checkpoint_dir=f"{args.checkpoint_dir}/{args.name}_grid",
         )
         print(f"grid best: lr={lr} wd={wd} val={best.best_val_loss:.4f}")
     else:
         ckpts = CheckpointManager(
             f"{args.checkpoint_dir}/{args.name}_epochs", keep=3
         )
-        trainer = Trainer(UnguidedTask(), cfg, checkpoints=ckpts)
+        trainer = Trainer(task_factory(), cfg, checkpoints=ckpts)
         best = trainer.fit(train_loader, val_loader)
     path = save_best(args.checkpoint_dir, args.name, best.best_variables)
     print(f"saved best model to {path} (val {best.best_val_loss:.4f})")
@@ -279,7 +336,7 @@ def cmd_bench(args) -> int:
     # pallas kernels need a TPU (platform may be named 'tpu' or a tunneled
     # variant like 'axon'); fall back to the XLA path on cpu/gpu
     backend = args.backend if jax.default_backend() not in ("cpu", "gpu", "cuda") else "xla"
-    model = GuidedDepthNet(backend=backend)
+    model = GuidedDepthNet(backend=backend, step1_pos_fn=args.pos_fn)
     if args.checkpoint:
         variables = load_best(args.checkpoint)
     else:
@@ -294,7 +351,9 @@ def cmd_bench(args) -> int:
             height=h,
             width=w,
             batch=args.batch,
-            model=GuidedDepthNet(backend=backend, dtype=jnp.bfloat16),
+            model=GuidedDepthNet(
+                backend=backend, dtype=jnp.bfloat16, step1_pos_fn=args.pos_fn
+            ),
         )
         print(json.dumps({"throughput_fps": round(fps, 2), "batch": args.batch}))
         return 0
@@ -314,7 +373,7 @@ def cmd_profile(args) -> int:
     from .utils import profile_fn
 
     h, w = args.height, args.width
-    model = GuidedDepthNet()
+    model = GuidedDepthNet(step1_pos_fn=args.pos_fn)
     rng = np.random.default_rng(0)
     rgb = np.asarray(rng.random((1, h, w, 3)), np.float32)
     d = np.asarray(rng.random((1, h, w, 1)), np.float32)
@@ -357,11 +416,15 @@ def cmd_eval(args) -> int:
         make_unguided_predict,
     )
 
+    from .models import GuidedDepthNet, NConvUNet
+
     variables = load_best(args.checkpoint)
     if args.model == "guided":
-        predict = make_guided_predict(variables)
+        predict = make_guided_predict(
+            variables, GuidedDepthNet(step1_pos_fn=args.pos_fn)
+        )
     else:
-        predict = make_unguided_predict(variables)
+        predict = make_unguided_predict(variables, NConvUNet(pos_fn=args.pos_fn))
     ds = make_dataset(args, args.split)
     loader = Loader(ds, args.batch_size, num_workers=args.num_workers)
     result = evaluate(predict, loader, max_batches=args.max_batches)
@@ -380,8 +443,15 @@ def cmd_infer(args) -> int:
     from .training import load_best
     from .utils import save_depth
 
+    from .models import GuidedDepthNet
+
     variables = load_best(args.checkpoint)
-    engine = StreamingEngine(variables, height=args.height, width=args.width)
+    engine = StreamingEngine(
+        variables,
+        height=args.height,
+        width=args.width,
+        model=GuidedDepthNet(step1_pos_fn=args.pos_fn),
+    )
     engine.warmup()
     rgbs = sorted(globlib.glob(args.rgb_glob))
     depths = sorted(globlib.glob(args.depth_glob))

@@ -159,8 +159,13 @@ def crop_top_center(arr: np.ndarray, oh: int, ow: int) -> np.ndarray:
 
 
 def apply_mask(depth: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Returns a fresh array; never mutates the caller's ``depth``.
+
+    (The native kernel works in place, so the input is always copied —
+    ``ascontiguousarray`` would alias an already-contiguous float32 input
+    and silently corrupt caller-held arrays.)"""
     lib = _load()
-    d = np.ascontiguousarray(depth, np.float32)
+    d = np.array(depth, np.float32, copy=True, order="C")
     m = np.ascontiguousarray(mask, np.float32)
     if lib is None:
         return d * m

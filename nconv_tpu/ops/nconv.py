@@ -51,9 +51,13 @@ def _softplus10(w):
     return jax.nn.softplus(10.0 * w) / 10.0
 
 
-def _softmax_per_outchannel(w):
+def _softmax_per_pair(w):
+    # reference EnforcePos softmaxes over the kh*kw taps of each
+    # (cout, cin) pair (p.view(cout, cin, -1) + softmax(-1),
+    # /root/reference/models/step1.py:199-203); HWIO equivalent: softmax
+    # over the flattened spatial axis only
     kh, kw, cin, cout = w.shape
-    flat = w.reshape(kh * kw * cin, cout)
+    flat = w.reshape(kh * kw, cin, cout)
     return jax.nn.softmax(flat, axis=0).reshape(w.shape)
 
 
@@ -61,7 +65,7 @@ POS_FNS: dict[str, Callable] = {
     "softplus": _softplus10,
     "exp": jnp.exp,
     "sigmoid": jax.nn.sigmoid,
-    "softmax": _softmax_per_outchannel,
+    "softmax": _softmax_per_pair,
     "identity": lambda w: w,
 }
 

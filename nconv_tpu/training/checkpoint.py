@@ -60,8 +60,38 @@ class CheckpointManager:
         out = self._mgr.restore(epoch, args=args)
         return out["state"], out["meta"]
 
+    def load_meta(self, epoch: int | None = None) -> dict | None:
+        """Restore only the JSON meta of a checkpoint (no state template
+        needed)."""
+        epoch = epoch if epoch is not None else self._mgr.latest_step()
+        if epoch is None:
+            return None
+        out = self._mgr.restore(
+            epoch, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+        )
+        return out["meta"]
+
     def close(self):
         self._mgr.close()
+
+    # -- best-model tracking (survives resume) ------------------------------
+
+    @property
+    def _best_path(self) -> str:
+        return os.path.join(self.directory, "best_variables")
+
+    def save_best_variables(self, variables: dict) -> None:
+        """Persist the running best-validation model alongside the epoch
+        checkpoints, so a resumed run keeps returning the true best even if
+        no post-resume epoch improves."""
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(self._best_path, _to_host(variables), force=True)
+        ckptr.wait_until_finished()
+
+    def load_best_variables(self) -> dict | None:
+        if not os.path.isdir(self._best_path):
+            return None
+        return ocp.StandardCheckpointer().restore(self._best_path)
 
 
 def save_best(directory: str, name: str, variables: dict) -> str:

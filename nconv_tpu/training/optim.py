@@ -145,6 +145,18 @@ class PlateauScheduler:
                 self.num_bad = 0
         return self.lr
 
+    def state_dict(self) -> dict:
+        import math
+
+        # JSON-safe: inf (the pristine 'best') round-trips as None
+        best = self.best if math.isfinite(self.best) else None
+        return {"lr": self.lr, "best": best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.lr = float(sd["lr"])
+        self.best = float("inf") if sd.get("best") is None else float(sd["best"])
+        self.num_bad = int(sd["num_bad"])
+
 
 class LinearScheduler:
     """torch ``LinearLR(start_factor=1, end_factor=0, total_iters=E)``
@@ -159,6 +171,12 @@ class LinearScheduler:
         self.epoch = min(self.epoch + 1, self.total)
         return self.base_lr * (1.0 - self.epoch / self.total)
 
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.epoch = int(sd["epoch"])
+
 
 class ConstantScheduler:
     def __init__(self, base_lr: float):
@@ -166,6 +184,12 @@ class ConstantScheduler:
 
     def step(self, val_loss: float | None = None) -> float:
         return self.lr
+
+    def state_dict(self) -> dict:
+        return {}
+
+    def load_state_dict(self, sd: dict) -> None:
+        pass
 
 
 def build_scheduler(cfg: SchedulerConfig, base_lr: float, total_epochs: int):

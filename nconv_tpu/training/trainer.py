@@ -33,13 +33,21 @@ from .optim import build_optimizer, build_scheduler, set_learning_rate
 
 class UnguidedTask:
     """Step-1 training: sparse depth -> dense depth, masked loss vs GT
-    (reference train_step1.py:61-63)."""
+    (reference train_step1.py:61-63).
+
+    ``two_stream=True`` reproduces the VOID harness's training form
+    (`void_train_step1.py:61-63`): the batch is duplicated into two streams
+    through the shared network (batch concat — the intended semantics of the
+    reference's two-arg step-1 call, SURVEY.md §0) and the loss reads the
+    even batch rows, i.e. stream 0.
+    """
 
     name = "unguided"
     has_batch_stats = False
 
-    def __init__(self, model: NConvUNet | None = None):
+    def __init__(self, model: NConvUNet | None = None, two_stream: bool = False):
         self.model = model or NConvUNet()
+        self.two_stream = two_stream
 
     def init_variables(self, rng, batch):
         return self.model.init(rng, jnp.asarray(batch["depth"]))
@@ -47,16 +55,25 @@ class UnguidedTask:
     def frozen_label_fn(self):
         return None
 
+    def _forward(self, variables, depth):
+        if self.two_stream:
+            stacked = jnp.concatenate([depth, depth], axis=0)
+            pred, _ = self.model.apply(variables, stacked)
+            # reference slices estimated_depth[0::2]; with [d; d] batch
+            # stacking that equals the first-stream rows
+            return pred[: depth.shape[0]]
+        pred, _ = self.model.apply(variables, depth)
+        return pred
+
     def loss(self, variables, batch, *, train: bool, cfg: TrainConfig):
-        pred, _ = self.model.apply(variables, batch["depth"])
+        pred = self._forward(variables, batch["depth"])
         loss = depth_loss(
             pred, batch["gt"], use_gradient_loss=cfg.use_gradient_loss
         )
         return loss, {}
 
     def predict(self, variables, batch):
-        pred, conf = self.model.apply(variables, batch["depth"])
-        return pred
+        return self._forward(variables, batch["depth"])
 
 
 class GuidedTask:
@@ -219,6 +236,7 @@ class Trainer:
         start_epoch = 0
         best_val = float("inf")
         best_vars = None
+        num_bad = 0
 
         if resume and self.checkpoints is not None:
             latest = self.checkpoints.latest_epoch()
@@ -230,10 +248,16 @@ class Trainer:
                 history = meta["history"]
                 best_val = float(meta["best_val"])
                 start_epoch = latest + 1
+                # scheduler + early-stop state continue where they left off
+                # (a fresh PlateauScheduler would reset the decayed LR and
+                # the bad-epoch counter on its first post-resume step)
+                if meta.get("sched") is not None:
+                    sched.load_state_dict(meta["sched"])
+                num_bad = int(meta.get("num_bad", 0))
+                best_vars = self.checkpoints.load_best_variables()
                 self.log(f"[resume] continuing from epoch {start_epoch}")
 
         t_start = time.time()
-        num_bad = 0
         for epoch in range(start_epoch, cfg.epochs):
             # ---- train sweep
             losses = []
@@ -255,6 +279,8 @@ class Trainer:
                         f"({time.time() - t_step:.2f}s)"
                     )
                     t_step = time.time()
+                if cfg.dump_images_every and i % cfg.dump_images_every == 0:
+                    self._dump_images(state, batch, epoch, i)
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
             # ---- validation (eval mode + no grads — fixes the reference's
@@ -284,6 +310,8 @@ class Trainer:
             if val_loss < best_val:
                 best_val = val_loss
                 best_vars = jax.tree.map(np.asarray, self._variables(state))
+                if self.checkpoints is not None:
+                    self.checkpoints.save_best_variables(best_vars)
                 num_bad = 0
             else:
                 num_bad += 1
@@ -303,7 +331,12 @@ class Trainer:
                 self.checkpoints.save(
                     epoch,
                     jax.tree.map(np.asarray, state),
-                    meta={"history": history, "best_val": best_val},
+                    meta={
+                        "history": history,
+                        "best_val": best_val,
+                        "sched": sched.state_dict(),
+                        "num_bad": num_bad,
+                    },
                 )
 
             if cfg.early_stopping and num_bad >= (
@@ -326,6 +359,23 @@ class Trainer:
             variables["batch_stats"] = state["batch_stats"]
         return variables
 
+    def _dump_images(self, state, batch, epoch: int, batch_idx: int) -> None:
+        """Training-time visual debug dumps: colormapped prediction / sparse
+        input / GT of batch element 0 (the reference's eyeball-regression
+        mechanism, `train_step1.py:73-81` -> `utils.py:12-16`)."""
+        import os
+
+        from ..utils import save_depth
+
+        os.makedirs(self.cfg.image_dir, exist_ok=True)
+        pred = np.asarray(self.task.predict(self._variables(state), batch))
+        stem = os.path.join(
+            self.cfg.image_dir, f"{self.cfg.run_name}_e{epoch}_b{batch_idx}"
+        )
+        save_depth(pred[0], stem + "_out.png")
+        save_depth(np.asarray(batch["depth"])[0], stem + "_sparse.png")
+        save_depth(np.asarray(batch["gt"])[0], stem + "_gt.png")
+
 
 def grid_search(
     task_factory: Callable[[], Any],
@@ -335,24 +385,79 @@ def grid_search(
     val_loader,
     mesh=None,
     log_fn: Callable[[str], None] = print,
+    checkpoint_dir: str | None = None,
 ):
     """LR x WD sweep, returns (best FitResult, best lr, best wd) — the
-    reference's outer loop (train_step1.py:140-163)."""
+    reference's outer loop (train_step1.py:140-163).
+
+    With ``checkpoint_dir`` set the sweep is resumable: each cell trains
+    under its own per-epoch CheckpointManager, finished cells are recorded
+    in ``grid_results.json`` (and skipped on rerun), and a cell killed
+    mid-training resumes from its latest epoch. The reference's sweep lost
+    everything on a crash (it saved once, after the whole grid,
+    train_step1.py:172).
+    """
+    import json
+    import os
+
+    results_path = (
+        os.path.join(checkpoint_dir, "grid_results.json") if checkpoint_dir else None
+    )
+    done: dict[str, dict] = {}
+    if results_path and os.path.isfile(results_path):
+        with open(results_path) as f:
+            done = json.load(f)
+
     best: FitResult | None = None
     best_lr = best_wd = None
+    best_cell: str | None = None
     for lr in grid.learning_rates:
         for wd in grid.weight_decays:
-            run_cfg = cfg.replace(
-                optimizer=cfg.optimizer.__class__(
-                    name=cfg.optimizer.name,
-                    learning_rate=lr,
-                    weight_decay=wd,
-                    momentum=cfg.optimizer.momentum,
+            cell = f"lr{lr:g}_wd{wd:g}"
+            if cell in done:
+                log_fn(f"[grid] {cell}: already complete (val "
+                       f"{done[cell]['best_val_loss']:.4f}), skipping")
+                result = FitResult(None, float(done[cell]["best_val_loss"]),
+                                   done[cell].get("history", {}))
+            else:
+                run_cfg = cfg.replace(
+                    optimizer=cfg.optimizer.__class__(
+                        name=cfg.optimizer.name,
+                        learning_rate=lr,
+                        weight_decay=wd,
+                        momentum=cfg.optimizer.momentum,
+                    )
                 )
-            )
-            log_fn(f"[grid] lr={lr} wd={wd}")
-            trainer = Trainer(task_factory(), run_cfg, mesh=mesh, log_fn=log_fn)
-            result = trainer.fit(train_loader, val_loader, resume=False)
+                log_fn(f"[grid] lr={lr} wd={wd}")
+                ckpts = (
+                    CheckpointManager(
+                        os.path.join(checkpoint_dir, cell),
+                        keep=cfg.keep_checkpoints,
+                    )
+                    if checkpoint_dir
+                    else None
+                )
+                trainer = Trainer(
+                    task_factory(), run_cfg, mesh=mesh, checkpoints=ckpts,
+                    log_fn=log_fn,
+                )
+                result = trainer.fit(
+                    train_loader, val_loader, resume=checkpoint_dir is not None
+                )
+                if results_path:
+                    done[cell] = {
+                        "lr": lr,
+                        "wd": wd,
+                        "best_val_loss": result.best_val_loss,
+                        "history": result.history,
+                    }
+                    with open(results_path, "w") as f:
+                        json.dump(done, f)
             if best is None or result.best_val_loss < best.best_val_loss:
-                best, best_lr, best_wd = result, lr, wd
+                best, best_lr, best_wd, best_cell = result, lr, wd, cell
+    if best is not None and best.best_variables is None and checkpoint_dir:
+        # winner was a previously-completed cell — its best model is on disk
+        best.best_variables = CheckpointManager(
+            os.path.join(checkpoint_dir, best_cell)
+        ).load_best_variables()
     return best, best_lr, best_wd

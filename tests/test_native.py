@@ -86,3 +86,15 @@ def test_apply_mask_and_wire_encode():
 def test_missing_file_raises():
     with pytest.raises(IOError):
         native.png_info("/nonexistent/file.png")
+
+
+def test_apply_mask_does_not_mutate_input():
+    """apply_mask must return a fresh array even when the input is already
+    float32 C-contiguous (the native kernel works in place on a copy)."""
+    d = np.arange(12, dtype=np.float32).reshape(3, 4)
+    d_orig = d.copy()
+    m = np.zeros((3, 4), np.float32)
+    out = native.apply_mask(d, m)
+    np.testing.assert_array_equal(d, d_orig)
+    np.testing.assert_array_equal(out, np.zeros_like(d))
+    assert out is not d

@@ -102,11 +102,21 @@ def test_poisson_init_shape_and_range():
     assert float(jnp.max(w)) <= float(base.max()) + 1.0
 
 
-def test_softmax_pos_fn_normalizes_per_outchannel():
-    w = jnp.asarray(rand(3, 3, 2, 4))
-    s = POS_FNS["softmax"](w)
-    sums = jnp.sum(s, axis=(0, 1, 2))
-    np.testing.assert_allclose(np.asarray(sums), 1.0, rtol=1e-5)
+def test_softmax_pos_fn_normalizes_per_cout_cin_pair():
+    """Reference EnforcePos softmaxes the kh*kw taps of each (cout, cin)
+    pair (step1.py:199-203: p.view(cout, cin, -1), softmax(-1))."""
+    w_hwio = rand(3, 3, 2, 4)
+    s = POS_FNS["softmax"](jnp.asarray(w_hwio))
+    # spatial sums are 1 for every (cin, cout) pair
+    np.testing.assert_allclose(np.asarray(jnp.sum(s, axis=(0, 1))), 1.0, rtol=1e-5)
+
+    import torch
+
+    w_oihw = torch.tensor(np.transpose(w_hwio, (3, 2, 0, 1)))
+    ref = torch.nn.functional.softmax(w_oihw.view(4, 2, -1), -1).view(4, 2, 3, 3)
+    np.testing.assert_allclose(
+        np.asarray(s), np.transpose(ref.numpy(), (2, 3, 1, 0)), rtol=1e-5
+    )
 
 
 def test_nconv_gradients_flow():

@@ -239,3 +239,126 @@ def test_nan_watchdog_raises():
     trainer = Trainer(UnguidedTask(), cfg, log_fn=quiet)
     with pytest.raises(FloatingPointError, match="non-finite loss"):
         trainer.fit(lambda: iter([bad]), lambda: iter([bad]), resume=False)
+
+
+def test_plateau_scheduler_state_roundtrip():
+    s = PlateauScheduler(1e-2, factor=0.1, patience=2)
+    # pristine state: best == inf must survive the JSON round trip
+    s2 = PlateauScheduler(1e-2, factor=0.1, patience=2)
+    s2.load_state_dict(s.state_dict())
+    assert s2.best == float("inf")
+    for v in (1.0, 1.0, 1.0, 1.0, 0.5):
+        s.step(v)
+    s3 = PlateauScheduler(1e-2, factor=0.1, patience=2)
+    s3.load_state_dict(s.state_dict())
+    assert (s3.lr, s3.best, s3.num_bad) == (s.lr, s.best, s.num_bad)
+    # identical continuation
+    assert s3.step(0.6) == s.step(0.6)
+
+
+def test_resume_restores_scheduler_and_early_stop_state(tmp_path):
+    """A resumed run must continue scheduler + early-stop state: with lr=0
+    (frozen params -> exactly equal val losses) the bad-epoch counter climbs
+    deterministically, so a restored counter early-stops after ONE
+    post-resume epoch while a reset one would need three more."""
+    cfg = TrainConfig(
+        epochs=3,
+        batch_size=2,
+        optimizer=OptimizerConfig("adamw", 0.0, 0.0),
+        scheduler=SchedulerConfig("plateau", factor=0.1, patience=0),
+        log_every=0,
+        checkpoint_every=1,
+    )
+    tr, va = loader(2), loader(1)
+    ckpts = CheckpointManager(str(tmp_path / "ck"), keep=5)
+    trainer = Trainer(UnguidedTask(), cfg, checkpoints=ckpts, log_fn=quiet)
+    r1 = trainer.fit(tr, va, resume=False)
+    # epochs 1 and 2 did not improve (equal val) -> num_bad == 2 persisted
+    meta = ckpts.load_meta()
+    assert meta["num_bad"] == 2
+    assert meta["sched"]["best"] == pytest.approx(r1.best_val_loss)
+
+    # resume with early stopping at threshold patience(0)+extra(3) == 3:
+    # the restored counter hits 3 after one epoch; a reset one would not
+    cfg2 = cfg.replace(epochs=8, early_stopping=True)
+    msgs = []
+    trainer2 = Trainer(UnguidedTask(), cfg2, checkpoints=ckpts, log_fn=msgs.append)
+    r2 = trainer2.fit(tr, va, resume=True)
+    assert any("early stop" in m for m in msgs)
+    assert len(r2.history["val_loss"]) == 4  # 3 restored + 1 post-resume
+    # best model from before the resume point is preserved
+    assert r2.best_variables is not None
+    assert r2.best_val_loss == r1.best_val_loss
+    ckpts.close()
+
+
+def test_dump_images_every_writes_pngs(tmp_path):
+    """The reference dumps colormapped output/sparse/gt every ~100 samples
+    during training (train_step1.py:73-81); the knob must produce PNGs."""
+    img_dir = tmp_path / "imgs"
+    cfg = TrainConfig(
+        epochs=1,
+        batch_size=2,
+        optimizer=OptimizerConfig("adamw", 1e-2, 1e-7),
+        log_every=0,
+        dump_images_every=2,
+        image_dir=str(img_dir),
+        run_name="dbg",
+    )
+    trainer = Trainer(UnguidedTask(), cfg, log_fn=quiet)
+    trainer.fit(loader(4), loader(1), resume=False)
+    names = sorted(p.name for p in img_dir.glob("*.png"))
+    # batches 0 and 2 dump out/sparse/gt each
+    assert "dbg_e0_b0_out.png" in names
+    assert "dbg_e0_b0_sparse.png" in names
+    assert "dbg_e0_b0_gt.png" in names
+    assert "dbg_e0_b2_out.png" in names
+    assert len(names) == 6
+
+
+def test_two_stream_unguided_task_matches_single_stream():
+    """two_stream=True reproduces void_train_step1.py:61-63 (batch-concat
+    through shared weights + stream-0 slice): identical loss and gradients
+    to the single-stream form for the same weights."""
+    b = synth_batch(2)
+    cfg = TrainConfig(epochs=1, batch_size=2, log_every=0)
+    t1 = UnguidedTask()
+    t2 = UnguidedTask(two_stream=True)
+    v = t1.init_variables(jax.random.key(3), b)
+    l1, _ = t1.loss(v, {k: jnp.asarray(x) for k, x in b.items()}, train=True, cfg=cfg)
+    l2, _ = t2.loss(v, {k: jnp.asarray(x) for k, x in b.items()}, train=True, cfg=cfg)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_grid_search_resumes_without_retraining(tmp_path):
+    from nconv_tpu.training import GridSearchConfig, grid_search
+
+    cfg = TrainConfig(
+        epochs=1,
+        batch_size=2,
+        optimizer=OptimizerConfig("adamw", 1e-2, 1e-7),
+        log_every=0,
+    )
+    grid = GridSearchConfig(learning_rates=(1e-2, 1e-3), weight_decays=(1e-7,))
+    tr, va = loader(2), loader(1)
+    ckdir = str(tmp_path / "grid")
+
+    best1, lr1, wd1 = grid_search(
+        UnguidedTask, cfg, grid, tr, va, log_fn=quiet, checkpoint_dir=ckdir
+    )
+    assert best1.best_variables is not None
+
+    # rerun: every cell is already recorded -> skipped, same winner, and the
+    # winner's best variables come back from disk
+    msgs = []
+    best2, lr2, wd2 = grid_search(
+        UnguidedTask, cfg, grid, tr, va, log_fn=msgs.append, checkpoint_dir=ckdir
+    )
+    assert sum("skipping" in m for m in msgs) == 2
+    assert (lr2, wd2) == (lr1, wd1)
+    assert best2.best_val_loss == best1.best_val_loss
+    assert best2.best_variables is not None
+    for a, c in zip(
+        jax.tree.leaves(best1.best_variables), jax.tree.leaves(best2.best_variables)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
