@@ -1,4 +1,5 @@
 """Model zoo: unguided NConv UNet (step 1) and RGB-guided fusion net (step 2)."""
+from .fold import fold_batchnorm_variables
 from .guided import (
     BORDER_LEFT,
     BORDER_TOP,
@@ -23,6 +24,7 @@ from .nconv_layers import NConv2d
 from .unguided import CONF_THRESHOLD, NConvUNet, Step1Unguided
 
 __all__ = [
+    "fold_batchnorm_variables",
     "BORDER_LEFT",
     "BORDER_TOP",
     "FusionResolution0",

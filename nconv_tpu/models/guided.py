@@ -62,14 +62,17 @@ class UpCat(nn.Module):
     features: int
     dtype: Any = None
     backend: str = "xla"
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, rgb_skip, fusion, depth, train: bool = False):
         fout = Basic2dTrans(
-            self.features, dtype=self.dtype, backend=self.backend, name="upf"
+            self.features, dtype=self.dtype, backend=self.backend,
+            fold_bn=self.fold_bn, name="upf"
         )(jnp.concatenate([depth, fusion], -1), train)
         fout = Basic2d(
-            self.features, dtype=self.dtype, backend=self.backend, name="conv"
+            self.features, dtype=self.dtype, backend=self.backend,
+            fold_bn=self.fold_bn, name="conv"
         )(jnp.concatenate([fout, rgb_skip], -1), train)
         return fout
 
@@ -134,11 +137,13 @@ class FusionResolutionBlock(nn.Module):
     downsample_factor: int
     dtype: Any = None
     backend: str = "xla"
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, rgb, dense_depth, prev_fusion, prev_depth, train: bool = False):
         fout = UpCat(
-            self.in_channels, dtype=self.dtype, backend=self.backend, name="upcat"
+            self.in_channels, dtype=self.dtype, backend=self.backend,
+            fold_bn=self.fold_bn, name="upcat"
         )(rgb, prev_fusion, prev_depth, train)
         depth = downscale_bilinear(dense_depth, self.downsample_factor)
         fout = NewFusionBlock(
@@ -172,6 +177,9 @@ class GuidedDepthNet(nn.Module):
     # residuals back to f32, so depth never loses mantissa).
     step1_dtype: Any = None  # None = follow `dtype`
     backend: str = "xla"  # 'pallas' = fused TPU kernels for stride-1 convs
+    # Inference-only: BatchNorms folded into conv weights (see models.fold).
+    # Construct variables with fold_batchnorm_variables(trained_variables).
+    fold_bn: bool = False
 
     def setup(self):
         self.step1 = NConvUNet(
@@ -183,15 +191,22 @@ class GuidedDepthNet(nn.Module):
         # and the second block wins: 3->32 s1, 32->64 s2, 64->64 s2, 64->64 s2
         # (models/step2.py:48-51; SURVEY.md §2.3).
         be = self.backend
-        self.rgb_encoder0 = RGBEncoder(32, 1, dtype=self.dtype, backend=be)
-        self.rgb_encoder1 = RGBEncoder(64, 2, dtype=self.dtype, backend=be)
-        self.rgb_encoder2 = RGBEncoder(64, 2, dtype=self.dtype, backend=be)
-        self.rgb_encoder3 = RGBEncoder(64, 2, dtype=self.dtype, backend=be)
+        fb = self.fold_bn
+        mk_enc = lambda feats, stride: RGBEncoder(
+            feats, stride, dtype=self.dtype, backend=be, fold_bn=fb
+        )
+        self.rgb_encoder0 = mk_enc(32, 1)
+        self.rgb_encoder1 = mk_enc(64, 2)
+        self.rgb_encoder2 = mk_enc(64, 2)
+        self.rgb_encoder3 = mk_enc(64, 2)
 
         self.fuse0 = FusionResolution0(64, 8, dtype=self.dtype, backend=be)
-        self.fuse1 = FusionResolutionBlock(64, 64, 4, dtype=self.dtype, backend=be)
-        self.fuse2 = FusionResolutionBlock(64, 32, 2, dtype=self.dtype, backend=be)
-        self.fuse3 = FusionResolutionBlock(32, 32, 1, dtype=self.dtype, backend=be)
+        self.fuse1 = FusionResolutionBlock(
+            64, 64, 4, dtype=self.dtype, backend=be, fold_bn=fb)
+        self.fuse2 = FusionResolutionBlock(
+            64, 32, 2, dtype=self.dtype, backend=be, fold_bn=fb)
+        self.fuse3 = FusionResolutionBlock(
+            32, 32, 1, dtype=self.dtype, backend=be, fold_bn=fb)
 
     def _backbone(self, rgb0, depth0, rgb1, depth1, train: bool):
         depth = jnp.concatenate([depth0, depth1], axis=0)

@@ -175,18 +175,29 @@ class ConvBlock(nn.Module):
 
 class Basic2d(nn.Module):
     """conv3x3 [+BN] + ReLU; bias iff no norm (reference
-    `models/step2.py:178-195`)."""
+    `models/step2.py:178-195`).
+
+    ``fold_bn=True`` builds the inference-folded form — conv with bias and
+    fused ReLU, no BN module — fed by :func:`models.fold.fold_batchnorm_variables`.
+    """
 
     features: int
     use_norm: bool = True
     dtype: Any = None
     backend: str = "xla"
+    fold_bn: bool = False
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold_bn and self.use_norm:
+            return Conv(
+                self.features, use_bias=True, dtype=self.dtype,
+                backend=self.backend, fuse_relu=True, layout=self.layout,
+            )(x)
         x = Conv(
             self.features, use_bias=not self.use_norm, dtype=self.dtype,
-            backend=self.backend,
+            backend=self.backend, layout=self.layout,
         )(x)
         if self.use_norm:
             x = BatchNorm(dtype=self.dtype)(x, train)
@@ -201,12 +212,16 @@ class Basic2dTrans(nn.Module):
     use_norm: bool = True
     dtype: Any = None
     backend: str = "xla"
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # note: the 'phased' decomposition measured neutral at the XLA level
         # (16.2 vs 15.9 ms full-graph) — kept available on ConvTranspose for
         # a future pallas-phase variant, default stays 'dilated'
+        if self.fold_bn and self.use_norm:
+            x = ConvTranspose(self.features, use_bias=True, dtype=self.dtype)(x)
+            return nn.relu(x)
         x = ConvTranspose(
             self.features, use_bias=not self.use_norm, dtype=self.dtype,
         )(x)
@@ -223,15 +238,20 @@ class RGBEncoder(nn.Module):
     stride: int = 1
     dtype: Any = None
     backend: str = "xla"
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # the reference's encoder conv keeps its (redundant-under-BN) bias —
+        # torch Conv2d default (models/step2.py:141); the fold transform
+        # absorbs it into the folded bias
         out = Conv(
             self.features, stride=self.stride, dtype=self.dtype,
-            backend=self.backend,
+            backend=self.backend, fuse_relu=self.fold_bn,
         )(x)
-        out = BatchNorm(dtype=self.dtype)(out, train)
-        out = nn.relu(out)
+        if not self.fold_bn:
+            out = BatchNorm(dtype=self.dtype)(out, train)
+            out = nn.relu(out)
         shortcut = Conv(
             self.features,
             kernel_size=1,

@@ -76,8 +76,22 @@ class StreamingEngine:
         rgb_wire_dtype=np.uint8,
         depth_wire_dtype=np.uint16,
         donate: bool = False,
+        fold_bn: bool = True,
     ):
         self.model = model or GuidedDepthNet(dtype=compute_dtype)
+        # Inference-only graph: fold every BatchNorm into its conv (exact
+        # affine rewrite, see models.fold) — one fewer full-res elementwise
+        # pass per normalized conv.
+        if (
+            fold_bn
+            and not getattr(self.model, "fold_bn", False)
+            and isinstance(variables, dict)
+            and variables.get("batch_stats")
+        ):
+            from ..models import fold_batchnorm_variables
+
+            self.model = self.model.clone(fold_bn=True)
+            variables = fold_batchnorm_variables(variables)
         self.height, self.width = height, width
         self.compute_dtype = compute_dtype
         self.rgb_wire_dtype = np.dtype(rgb_wire_dtype)

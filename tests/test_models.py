@@ -164,3 +164,39 @@ def test_guided_step1_frozen_gradients(guided_inputs):
     assert all(float(jnp.abs(g).max()) == 0.0 for g in step1_grads)
     other = [v for k, v in grads.items() if k != "step1"]
     assert any(float(jnp.abs(g).max()) > 0 for g in jax.tree.leaves(other))
+
+
+def test_fold_batchnorm_exact_equivalence():
+    """fold_bn=True + fold_batchnorm_variables reproduces the BN model's
+    inference output exactly (affine rewrite; see models/fold.py)."""
+    import numpy as np
+
+    from nconv_tpu.models import GuidedDepthNet, fold_batchnorm_variables
+
+    rng = np.random.default_rng(0)
+    h, w = 104, 128
+    rgb = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+    truth = np.fromfunction(
+        lambda n, i, j, c: 2 + np.sin(i / 10) + np.cos(j / 12), (1, h, w, 1)
+    ).astype(np.float32)
+    d = jnp.asarray(truth * (rng.random((1, h, w, 1)) < 0.15))
+
+    model = GuidedDepthNet()
+    v = model.init(jax.random.key(0), rgb, d, rgb, d)
+    # non-trivial running stats
+    for _ in range(3):
+        _, mut = model.apply(v, rgb, d, rgb, d, True, mutable=["batch_stats"])
+        v = {**v, "batch_stats": mut["batch_stats"]}
+    ref0, _ = model.apply(v, rgb, d, rgb, d, method=GuidedDepthNet.export)
+
+    folded = GuidedDepthNet(fold_bn=True)
+    fv = fold_batchnorm_variables(v)
+    # identical param-tree structure to a fresh fold_bn init
+    init_tree = jax.tree.structure(
+        folded.init(jax.random.key(1), rgb, d, rgb, d)["params"]
+    )
+    assert jax.tree.structure(fv["params"]) == init_tree
+    out0, _ = folded.apply(fv, rgb, d, rgb, d, method=GuidedDepthNet.export)
+    np.testing.assert_allclose(
+        np.asarray(out0), np.asarray(ref0), atol=2e-6, rtol=1e-5
+    )
