@@ -7,6 +7,11 @@ Prints ONE JSON line:
 vs_baseline is measured against the BASELINE.json north-star target of
 60 FPS on one v5e chip (the reference publishes no numbers of its own —
 BASELINE.md).
+
+Headline mode: fused Pallas kernels, full (B,H,C,W) graph, BatchNorm folded
+into conv weights, mixed precision (bf16 feature convs, f32 unguided
+densifier + every depth tensor) — measured 9e-4 relative RMSE vs the f32
+XLA engine on identical wire inputs, inside the <1e-3 parity bar.
 """
 from __future__ import annotations
 
@@ -30,14 +35,11 @@ def main() -> None:
         pass
     import jax.numpy as jnp
 
-    from nconv_tpu.models import GuidedDepthNet
+    from nconv_tpu.models import GuidedDepthNet, fold_batchnorm_variables
     from nconv_tpu.runtime import StreamingEngine, benchmark
+    from nconv_tpu.runtime.streaming import _force_complete, benchmark_throughput
 
     h, w = 352, 1216
-    # Headline mode: fused Pallas kernels with the mixed-precision schedule
-    # (bf16 feature convs, f32 unguided densifier + all depth tensors) —
-    # measured 7e-5 relative RMSE vs the all-f32 path, well inside the
-    # <1e-3 parity bar.
     model = GuidedDepthNet(
         backend="pallas", dtype=jnp.bfloat16, step1_dtype=jnp.float32
     )
@@ -55,27 +57,54 @@ def main() -> None:
     synced = stats.get("synced")
     e2e = stats.get("e2e")
 
-    # secondary: all-f32 reference mode (exact parity path)
-    model_f32 = GuidedDepthNet(backend="pallas")
-    fn = jax.jit(
-        lambda v, r, dd: model_f32.apply(
-            v, r, dd, r, dd, method=GuidedDepthNet.export
-        )[0].sum()
+    # secondary: all-f32 pallas engine (exact-parity path)
+    engine32 = StreamingEngine(
+        variables, height=h, width=w, model=GuidedDepthNet(backend="pallas")
     )
-    rgb_j, d_j = jnp.asarray(rgb), jnp.asarray(d)
-    _ = float(np.asarray(fn(variables, rgb_j, d_j)))
-    t0 = time.perf_counter()
-    for _ in range(30):
-        s = fn(variables, rgb_j, d_j)
-    _ = float(np.asarray(s))
-    f32_ms = (time.perf_counter() - t0) / 30 * 1e3
+    engine32.warmup()
+    s32 = benchmark(engine32, n_frames=40, warmup=5, include_e2e=False)
+    f32_ms = s32["device"].p50_ms
 
-    # Headline: amortized device execution of the fused frame graph with
-    # completion forced (see streaming._force_complete — block_until_ready
-    # is not a real sync on the axon tunnel). "synced"/"e2e" add one
-    # transport round trip per frame (tiny on PCIe; tens of ms on the
-    # relay), reported with wire size so transport-bound numbers are
-    # interpretable.
+    # pipelined streaming loop (StreamingEngine.run, depth-3 in flight):
+    # sustained host->HBM->compute throughput including staging
+    def frames(n):
+        fs = []
+        for i in range(4):
+            fs.append((
+                (rng.random((h, w, 3)) * 255).astype(np.float32),
+                (rng.random((h, w)) * 80 * (rng.random((h, w)) < 0.06)).astype(np.float32),
+                (rng.random((h, w, 3)) * 255).astype(np.float32),
+                (rng.random((h, w)) * 80 * (rng.random((h, w)) < 0.06)).astype(np.float32),
+            ))
+        for i in range(n):
+            yield fs[i % 4]
+
+    n_stream = 60
+    last = None
+    t0 = time.perf_counter()
+    for out in engine.run(frames(n_stream), depth=3):
+        last = out
+    _force_complete(last)
+    stream_fps = n_stream / (time.perf_counter() - t0)
+
+    # batched multi-stream bf16 throughput (BASELINE config #5)
+    tput_fps = None
+    try:
+        folded = fold_batchnorm_variables(variables)
+        tput_fps = benchmark_throughput(
+            folded,
+            height=h,
+            width=w,
+            batch=8,
+            n_iters=20,
+            model=GuidedDepthNet(
+                backend="pallas", dtype=jnp.bfloat16, step1_dtype=jnp.float32,
+                fold_bn=True,
+            ),
+        )
+    except Exception:
+        pass
+
     # XLA-trace device time: the purest per-frame number — excludes the
     # tunnel's ~2ms/frame dispatch overhead that a local host wouldn't pay
     trace_ms = None
@@ -109,6 +138,8 @@ def main() -> None:
         "e2e_p50_ms": round(e2e.p50_ms, 3) if e2e else None,
         "f32_fps": round(1000.0 / f32_ms, 2),
         "f32_ms": round(f32_ms, 3),
+        "stream_fps_pipelined": round(stream_fps, 2),
+        "throughput_fps_b8_bf16": round(tput_fps, 2) if tput_fps else None,
         "trace_ms": round(trace_ms, 3) if trace_ms else None,
         "trace_fps": round(1000.0 / trace_ms, 2) if trace_ms else None,
         "wire_mb_per_frame": round(engine.wire_bytes_per_frame / 1e6, 2),

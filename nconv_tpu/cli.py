@@ -72,7 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--out", required=True)
     pe.add_argument("--height", type=int, default=480)
     pe.add_argument("--width", type=int, default=640)
-    pe.add_argument("--batch", type=int, default=1)
+    pe.add_argument(
+        "--batch", type=int, default=None,
+        help="fixed batch size; default exports a dynamic batch axis "
+             "(the reference ONNX contract, export_to_onnx.py:65-73)",
+    )
 
     pb = sub.add_parser("bench", help="FPS/latency benchmark of the guided net")
     pb.add_argument("--height", type=int, default=352)
@@ -91,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="batched multi-stream bf16 throughput instead of latency",
     )
     pb.add_argument("--batch", type=int, default=8)
+    pb.add_argument(
+        "--train", action="store_true",
+        help="measure jitted train-step ms/batch (unguided b=4 + guided b=1, "
+             "reference geometry) instead of inference latency",
+    )
 
     pp = sub.add_parser("profile", help="per-op device-time profile of the guided net")
     pp.add_argument("--height", type=int, default=352)
@@ -336,6 +345,8 @@ def cmd_bench(args) -> int:
     # pallas kernels need a TPU (platform may be named 'tpu' or a tunneled
     # variant like 'axon'); fall back to the XLA path on cpu/gpu
     backend = args.backend if jax.default_backend() not in ("cpu", "gpu", "cuda") else "xla"
+    if args.train:
+        return _bench_train(args, backend)
     model = GuidedDepthNet(backend=backend, step1_pos_fn=args.pos_fn)
     if args.checkpoint:
         variables = load_best(args.checkpoint)
@@ -361,6 +372,66 @@ def cmd_bench(args) -> int:
     engine.warmup()
     stats = benchmark(engine, n_frames=args.frames)
     print(json.dumps({k: v.as_dict() for k, v in stats.items()}))
+    return 0
+
+
+def _bench_train(args, backend: str) -> int:
+    """Jitted train-step latency: unguided (batch 4) and guided (batch 1) at
+    the requested geometry — the reference's training hot loops
+    (train_step1.py:61-65, train_step2.py:62-64)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from .models import GuidedDepthNet, NConvUNet
+    from .runtime.streaming import _force_complete
+    from .training import GuidedTask, OptimizerConfig, TrainConfig, Trainer, UnguidedTask
+
+    h, w = args.height, args.width
+    rng = np.random.default_rng(0)
+
+    def synth(b):
+        truth = np.fromfunction(
+            lambda n, i, j, c: 2 + np.sin(i / 40) + np.cos(j / 60), (b, h, w, 1)
+        ).astype(np.float32)
+        return {
+            "rgb": rng.random((b, h, w, 3)).astype(np.float32),
+            "depth": truth * (rng.random((b, h, w, 1)) < 0.06),
+            "gt": truth,
+        }
+
+    out = {"backend": backend, "height": h, "width": w}
+    for name, task, b in (
+        ("unguided", UnguidedTask(NConvUNet(backend=backend)), 4),
+        ("guided", GuidedTask(GuidedDepthNet(backend=backend)), 1),
+    ):
+        cfg = TrainConfig(
+            epochs=1, batch_size=b, optimizer=OptimizerConfig("adamw", 1e-3, 1e-7),
+            log_every=0,
+        )
+        trainer = Trainer(task, cfg, log_fn=lambda m: None)
+        batch = trainer._device_batch(synth(b))
+        state = trainer.init_state(jax.random.key(0), batch)
+        trainer._build_steps()
+
+        def step(state):
+            p, s, o, loss = trainer._train_step(
+                state["params"], state["batch_stats"], state["opt_state"], batch
+            )
+            return {"params": p, "batch_stats": s, "opt_state": o}, loss
+
+        state, loss = step(state)  # compile
+        _force_complete(loss)
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, loss = step(state)
+        _force_complete(loss)
+        ms = (time.perf_counter() - t0) / n * 1e3
+        out[f"{name}_train_ms_per_batch"] = round(ms, 3)
+        out[f"{name}_batch_size"] = b
+    print(json.dumps(out))
     return 0
 
 

@@ -63,17 +63,19 @@ class UpCat(nn.Module):
     dtype: Any = None
     backend: str = "xla"
     fold_bn: bool = False
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, rgb_skip, fusion, depth, train: bool = False):
+        cat_ax = 2 if self.layout == "bhcw" else -1
         fout = Basic2dTrans(
             self.features, dtype=self.dtype, backend=self.backend,
-            fold_bn=self.fold_bn, name="upf"
-        )(jnp.concatenate([depth, fusion], -1), train)
+            fold_bn=self.fold_bn, layout=self.layout, name="upf"
+        )(jnp.concatenate([depth, fusion], cat_ax), train)
         fout = Basic2d(
             self.features, dtype=self.dtype, backend=self.backend,
-            fold_bn=self.fold_bn, name="conv"
-        )(jnp.concatenate([fout, rgb_skip], -1), train)
+            fold_bn=self.fold_bn, layout=self.layout, name="conv"
+        )(jnp.concatenate([fout, rgb_skip], cat_ax), train)
         return fout
 
 
@@ -85,29 +87,44 @@ class NewFusionBlock(nn.Module):
     features: int
     dtype: Any = None
     backend: str = "xla"
+    # 'nhwc': NHWC in/out (pallas chains internally in BHCW with one edge
+    # transpose per input/output); 'bhcw': operands already (B, H, C, W) —
+    # no edge transposes at all (full-BHCW graph mode)
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, rgb, depth):
-        layout = "bhcw" if self.backend == "pallas" else "nhwc"
+        chain_bhcw = self.backend == "pallas" or self.layout == "bhcw"
+        conv_layout = "bhcw" if chain_bhcw else "nhwc"
         mk = lambda feats, name: ConvBlock(
-            feats, dtype=self.dtype, backend=self.backend, layout=layout,
+            feats, dtype=self.dtype, backend=self.backend, layout=conv_layout,
             name=name,
         )
-        if layout == "bhcw":
-            # run the whole 5-conv chain in (B, H, C, W): one transpose in
-            # per input, one out, instead of two per conv
+        if chain_bhcw and self.layout == "nhwc":
+            # NHWC edges: one transpose in per input, one out
             rgb = jnp.transpose(rgb, (0, 1, 3, 2))
             depth = jnp.transpose(depth, (0, 1, 3, 2))
-        cat_axis = 2 if layout == "bhcw" else -1
+        cat_axis = 2 if chain_bhcw else -1
         rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
         depth_feat = mk(self.rgb_channels, "depth_conv")(depth)
         fused = jnp.concatenate([rgb_feat, depth_feat], cat_axis)
         fused = mk(self.rgb_channels, "fuse_conv1")(fused)
         fused = mk(self.features, "fuse_conv2")(fused)
         fused = mk(self.features, "fuse_conv3")(fused)
-        if layout == "bhcw":
+        if chain_bhcw and self.layout == "nhwc":
             fused = jnp.transpose(fused, (0, 1, 3, 2))
         return fused
+
+
+def _downscale_depth(x, factor: int, layout: str):
+    """Bilinear downscale of a 1-channel map in either layout. For one
+    channel, (B, H, 1, W) and (B, H, W, 1) share element order, so the BHCW
+    form is two free reshapes around the NHWC op."""
+    if layout == "bhcw":
+        b, h, _, w = x.shape
+        y = downscale_bilinear(x.reshape(b, h, w, 1), factor)
+        return y.reshape(y.shape[0], y.shape[1], 1, y.shape[2])
+    return downscale_bilinear(x, factor)
 
 
 class FusionResolution0(nn.Module):
@@ -117,15 +134,19 @@ class FusionResolution0(nn.Module):
     downsample_factor: int = 8
     dtype: Any = None
     backend: str = "xla"
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, rgb, dense_depth):
-        depth = downscale_bilinear(dense_depth, self.downsample_factor)
+        depth = _downscale_depth(dense_depth, self.downsample_factor, self.layout)
         fout = NewFusionBlock(
             self.features, self.features, dtype=self.dtype,
-            backend=self.backend, name="fuse",
+            backend=self.backend, layout=self.layout, name="fuse",
         )(rgb, depth)
-        res = Conv3x3Head(dtype=self.dtype, backend=self.backend, name="conv")(fout)
+        res = Conv3x3Head(
+            dtype=self.dtype, backend=self.backend, layout=self.layout,
+            name="conv",
+        )(fout)
         return fout, depth + res
 
 
@@ -138,19 +159,23 @@ class FusionResolutionBlock(nn.Module):
     dtype: Any = None
     backend: str = "xla"
     fold_bn: bool = False
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, rgb, dense_depth, prev_fusion, prev_depth, train: bool = False):
         fout = UpCat(
             self.in_channels, dtype=self.dtype, backend=self.backend,
-            fold_bn=self.fold_bn, name="upcat"
+            fold_bn=self.fold_bn, layout=self.layout, name="upcat"
         )(rgb, prev_fusion, prev_depth, train)
-        depth = downscale_bilinear(dense_depth, self.downsample_factor)
+        depth = _downscale_depth(dense_depth, self.downsample_factor, self.layout)
         fout = NewFusionBlock(
             self.in_channels, self.features, dtype=self.dtype,
-            backend=self.backend, name="fuse",
+            backend=self.backend, layout=self.layout, name="fuse",
         )(fout, depth)
-        res = Conv3x3Head(dtype=self.dtype, backend=self.backend, name="conv")(fout)
+        res = Conv3x3Head(
+            dtype=self.dtype, backend=self.backend, layout=self.layout,
+            name="conv",
+        )(fout)
         return fout, depth + res
 
 
@@ -192,29 +217,43 @@ class GuidedDepthNet(nn.Module):
         # (models/step2.py:48-51; SURVEY.md §2.3).
         be = self.backend
         fb = self.fold_bn
+        # Full-BHCW graph: with pallas kernels AND folded BN, every block
+        # runs natively in (B, H, C, W) — the only layout conversions left
+        # are one 3-channel RGB transpose at the input and free 1-channel
+        # reshapes at the step-1/depth boundaries.
+        lay = "bhcw" if (be == "pallas" and fb) else "nhwc"
+        self.layout = lay
         mk_enc = lambda feats, stride: RGBEncoder(
-            feats, stride, dtype=self.dtype, backend=be, fold_bn=fb
+            feats, stride, dtype=self.dtype, backend=be, fold_bn=fb, layout=lay
         )
         self.rgb_encoder0 = mk_enc(32, 1)
         self.rgb_encoder1 = mk_enc(64, 2)
         self.rgb_encoder2 = mk_enc(64, 2)
         self.rgb_encoder3 = mk_enc(64, 2)
 
-        self.fuse0 = FusionResolution0(64, 8, dtype=self.dtype, backend=be)
+        self.fuse0 = FusionResolution0(
+            64, 8, dtype=self.dtype, backend=be, layout=lay)
         self.fuse1 = FusionResolutionBlock(
-            64, 64, 4, dtype=self.dtype, backend=be, fold_bn=fb)
+            64, 64, 4, dtype=self.dtype, backend=be, fold_bn=fb, layout=lay)
         self.fuse2 = FusionResolutionBlock(
-            64, 32, 2, dtype=self.dtype, backend=be, fold_bn=fb)
+            64, 32, 2, dtype=self.dtype, backend=be, fold_bn=fb, layout=lay)
         self.fuse3 = FusionResolutionBlock(
-            32, 32, 1, dtype=self.dtype, backend=be, fold_bn=fb)
+            32, 32, 1, dtype=self.dtype, backend=be, fold_bn=fb, layout=lay)
 
     def _backbone(self, rgb0, depth0, rgb1, depth1, train: bool):
+        bhcw = self.layout == "bhcw"
         depth = jnp.concatenate([depth0, depth1], axis=0)
         dense, _ = self.step1(depth)
         if self.freeze_step1:
             dense = jax.lax.stop_gradient(dense)
 
         rgb = jnp.concatenate([rgb0, rgb1], axis=0)
+        if bhcw:
+            # single real layout conversion of the graph (3-channel RGB);
+            # the 1-channel dense depth converts by a free reshape
+            rgb = jnp.transpose(rgb, (0, 1, 3, 2))
+            b2, h, w, _ = dense.shape
+            dense = dense.reshape(b2, h, 1, w)
         r0 = self.rgb_encoder0(rgb, train)   # H
         r1 = self.rgb_encoder1(r0, train)    # H/2
         r2 = self.rgb_encoder2(r1, train)    # H/4
@@ -224,6 +263,10 @@ class GuidedDepthNet(nn.Module):
         f1, d1 = self.fuse1(r2, dense, f0, d0, train)
         f2, d2 = self.fuse2(r1, dense, f1, d1, train)
         _, d3 = self.fuse3(r0, dense, f2, d2, train)
+        if bhcw:
+            # free reshapes back to NHWC (1-channel depths)
+            to_nhwc = lambda d: d.reshape(d.shape[0], d.shape[1], d.shape[3], 1)
+            return tuple(to_nhwc(d) for d in (d0, d1, d2, d3))
         return d0, d1, d2, d3
 
     def __call__(self, rgb0, depth0, rgb1, depth1, train: bool = False):

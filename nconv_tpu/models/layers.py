@@ -54,7 +54,7 @@ class Conv(nn.Module):
     layout: str = "nhwc"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, params_only: bool = False):
         cin = x.shape[-1] if self.layout == "nhwc" else x.shape[2]
         k = self.kernel_size
         kernel = self.param(
@@ -65,6 +65,11 @@ class Conv(nn.Module):
             if self.use_bias
             else None
         )
+        if params_only:
+            # parameter access for fused multi-conv paths (e.g. the
+            # RGBEncoder block kernel) — keeps the param tree identical to
+            # the unfused form
+            return kernel, bias
         is_int = jnp.issubdtype(x.dtype, jnp.integer)
         dtype = self.dtype or (jnp.float32 if is_int else x.dtype)
         # integer (wire-format) inputs pass straight into the pallas kernels,
@@ -119,8 +124,8 @@ class ConvTranspose(nn.Module):
     method: str = "dilated"
 
     @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
+    def __call__(self, x, *, params_only: bool = False, layout: str = "nhwc"):
+        cin = x.shape[-1] if layout == "nhwc" else x.shape[2]
         k = self.kernel_size
         kernel = self.param(
             "kernel", torch_conv_kernel_init, (k, k, cin, self.features)
@@ -130,6 +135,8 @@ class ConvTranspose(nn.Module):
             if self.use_bias
             else None
         )
+        if params_only:
+            return kernel, bias
         dtype = self.dtype or x.dtype
         return conv_transpose2d(
             x.astype(dtype),
@@ -213,9 +220,12 @@ class Basic2dTrans(nn.Module):
     dtype: Any = None
     backend: str = "xla"
     fold_bn: bool = False
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.layout == "bhcw":
+            return self._phased_bhcw(x)
         # note: the 'phased' decomposition measured neutral at the XLA level
         # (16.2 vs 15.9 ms full-graph) — kept available on ConvTranspose for
         # a future pallas-phase variant, default stays 'dilated'
@@ -229,19 +239,48 @@ class Basic2dTrans(nn.Module):
             x = BatchNorm(dtype=self.dtype)(x, train)
         return nn.relu(x)
 
+    def _phased_bhcw(self, x):
+        """Transpose conv as a stride-1 pallas conv with phase-stacked output
+        channels (relu fused) + a depth-to-space interleave; fold_bn only."""
+        from ..ops.convops import convtranspose_kernel_phases, depth_to_space_bhcw
+        from ..ops.pallas_conv import conv2d_pallas_bhcw
+
+        assert self.fold_bn and self.backend == "pallas"
+        kernel, bias = ConvTranspose(
+            self.features, use_bias=True, dtype=self.dtype,
+        )(x, params_only=True, layout="bhcw")
+        dtype = self.dtype or x.dtype
+        kph = convtranspose_kernel_phases(kernel.astype(dtype))
+        bias4 = jnp.tile(bias.astype(dtype), 4)
+        out_ph = conv2d_pallas_bhcw(
+            x.astype(dtype), kph, bias4, padding=1, relu=True
+        )
+        return depth_to_space_bhcw(out_ph, self.features)
+
 
 class RGBEncoder(nn.Module):
     """Residual encoder stage: conv3x3(stride)+BN+ReLU plus a 1x1(stride)
-    shortcut, summed (reference `models/step2.py:134-154`)."""
+    shortcut, summed (reference `models/step2.py:134-154`).
+
+    ``layout='bhcw'`` (requires ``fold_bn`` + pallas) runs the whole block as
+    ONE fused kernel: the 1x1 shortcut is embedded in the 3x3 tap grid and
+    stacked on the output channels, and ``relu(main + bias) + shortcut``
+    happens in the kernel epilogue — one HBM read of the input, one write of
+    the block output. Stride 2 goes through a space-to-depth re-layout so
+    the strided conv becomes a stride-1 row-matmul (ops/convops.py).
+    """
 
     features: int
     stride: int = 1
     dtype: Any = None
     backend: str = "xla"
     fold_bn: bool = False
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.layout == "bhcw":
+            return self._fused_bhcw(x)
         # the reference's encoder conv keeps its (redundant-under-BN) bias —
         # torch Conv2d default (models/step2.py:141); the fold transform
         # absorbs it into the folded bias
@@ -263,6 +302,51 @@ class RGBEncoder(nn.Module):
         )(x)
         return out + shortcut
 
+    def _fused_bhcw(self, x):
+        from ..ops.convops import (
+            conv_kernel_s2d,
+            shortcut_kernel_s2d,
+            space_to_depth_bhcw,
+        )
+        from ..ops.pallas_conv import conv2d_pallas_bhcw
+
+        assert self.fold_bn and self.backend == "pallas"
+        # same submodule order as the unfused path -> identical param tree
+        k_main, b_main = Conv(
+            self.features, stride=self.stride, dtype=self.dtype,
+            backend=self.backend, layout="bhcw",
+        )(x, params_only=True)
+        k_short, _ = Conv(
+            self.features, kernel_size=1, stride=self.stride, padding=0,
+            use_bias=False, dtype=self.dtype, backend=self.backend,
+            layout="bhcw",
+        )(x, params_only=True)
+
+        is_int = jnp.issubdtype(x.dtype, jnp.integer)
+        dtype = self.dtype or (jnp.float32 if is_int else x.dtype)
+        k_main = k_main.astype(dtype)
+        k_short = k_short.astype(dtype)
+        b_main = b_main.astype(dtype)
+        if self.stride == 1:
+            # embed the 1x1 shortcut at the 3x3 center tap
+            k_sh3 = jnp.zeros_like(k_main).at[1, 1].set(k_short[0, 0])
+            kcat = jnp.concatenate([k_main, k_sh3], -1)
+            xin = x if is_int else x.astype(dtype)
+            return conv2d_pallas_bhcw(
+                xin, kcat, b_main, padding=1,
+                residual_channels=self.features,
+            )
+        assert self.stride == 2
+        xin = x.astype(dtype)  # s2d re-layout happens in XLA: decode first
+        s2d = space_to_depth_bhcw(xin, pad=1)
+        km = conv_kernel_s2d(k_main)  # (2, 2, 4cin, f)
+        ks = shortcut_kernel_s2d(k_short, pad=1)  # (1, 1, 4cin, f)
+        ks2 = jnp.zeros_like(km).at[0, 0].set(ks[0, 0])
+        kcat = jnp.concatenate([km, ks2], -1)
+        return conv2d_pallas_bhcw(
+            s2d, kcat, b_main, padding=0, residual_channels=self.features,
+        )
+
 
 class Conv3x3Head(nn.Module):
     """3x3 -> 1 channel, no bias: the per-scale residual-depth head.
@@ -274,7 +358,11 @@ class Conv3x3Head(nn.Module):
 
     dtype: Any = None
     backend: str = "xla"
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x):
-        return Conv(1, use_bias=False, dtype=self.dtype, backend=self.backend)(x)
+        return Conv(
+            1, use_bias=False, dtype=self.dtype, backend=self.backend,
+            layout=self.layout,
+        )(x)

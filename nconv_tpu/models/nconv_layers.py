@@ -36,10 +36,14 @@ class NConv2d(nn.Module):
     # 'xla' = stacked-batch conv; 'pallas' = fused NCHW kernel (TPU hot path,
     # stride 1 only)
     backend: str = "xla"
+    # 'bhcw': operands and results are (B, H, C, W) — chained pallas layers
+    # skip the per-layer NHWC<->BHCW transposes (pallas backend only)
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, data, conf):
-        cin = data.shape[-1]
+        ch_axis = 2 if self.layout == "bhcw" else -1
+        cin = data.shape[ch_axis]
         k = self.kernel_size
         kernel = self.param(
             "kernel", INIT_FNS[self.init_method], (k, k, cin, self.features)
@@ -48,6 +52,19 @@ class NConv2d(nn.Module):
             "bias", nn.initializers.constant(self.bias_value), (self.features,)
         )
         dtype = self.dtype or data.dtype
+        if self.layout == "bhcw":
+            from ..ops.pallas_nconv_mxu import nconv2d_pallas_mxu_bhcw
+
+            assert self.backend == "pallas" and self.stride == 1
+            return nconv2d_pallas_mxu_bhcw(
+                data.astype(dtype),
+                conf.astype(dtype),
+                kernel.astype(dtype),
+                bias.astype(dtype),
+                padding=self.padding,
+                pos_fn=self.pos_fn,
+                eps=self.eps,
+            )
         if self.backend == "pallas" and self.stride == 1:
             from ..ops.pallas_nconv_mxu import nconv2d_pallas_mxu
 

@@ -38,54 +38,72 @@ class NConvUNet(nn.Module):
     num_channels: int = 8
     pos_fn: str = "softplus"
     dtype: Any = None
-    backend: str = "xla"  # 'pallas' = fused NCHW kernels for the hot path
+    backend: str = "xla"  # 'pallas' = fused (B,H,C,W) kernels for the hot path
 
     @nn.compact
     def __call__(self, sparse):
         c = self.num_channels
+        # With the pallas backend the whole body runs in the kernels' native
+        # (B, H, C, W) layout: the 1-channel input/output boundary makes the
+        # NHWC<->BHCW conversion a free reshape ((B,H,W,1) and (B,H,1,W) have
+        # identical element order), and the 12 nconv layers plus every pool/
+        # resize/concat between them stay transpose-free. NHWC would instead
+        # pad the 8 channels into the 128-wide lane dim (16x inflated HBM
+        # tensors on each elementwise op between kernels).
+        bhcw = self.backend == "pallas"
+        layout = "bhcw" if bhcw else "nhwc"
+        cat_ax = 2 if bhcw else -1
         mk = lambda feats, ks, pad, init="p", name=None: NConv2d(
             feats, ks, pad, pos_fn=self.pos_fn, init_method=init,
-            dtype=self.dtype, backend=self.backend, name=name,
+            dtype=self.dtype, backend=self.backend, layout=layout, name=name,
         )
 
-        x0 = sparse
-        c0 = (sparse > CONF_THRESHOLD).astype(sparse.dtype)
+        b = sparse.shape[0]
+        h, w = sparse.shape[1:3]
+        x0 = sparse.reshape(b, h, 1, w) if bhcw else sparse
+        c0 = (x0 > CONF_THRESHOLD).astype(sparse.dtype)
+
+        def size_of(t):
+            return (t.shape[1], t.shape[3]) if bhcw else t.shape[1:3]
 
         # Full-resolution encoder
         x1, c1 = mk(c, 5, 2, name="nconv1")(x0, c0)
         x1, c1 = mk(c, 5, 2, name="nconv2")(x1, c1)
 
         # Downsample pyramid: joint max-pool then 5x5 nconv per level
-        x1_ds, c1_ds = max_pool_pair(x1, c1)
+        x1_ds, c1_ds = max_pool_pair(x1, c1, layout=layout)
         x2_ds, c2_ds = mk(c, 5, 2, name="nconv_down1")(x1_ds, c1_ds)
 
-        x2_dss, c2_dss = max_pool_pair(x2_ds, c2_ds)
+        x2_dss, c2_dss = max_pool_pair(x2_ds, c2_ds, layout=layout)
         x3_ds, c3_ds = mk(c, 5, 2, name="nconv_down2")(x2_dss, c2_dss)
 
-        x3_dss, c3_dss = max_pool_pair(x3_ds, c3_ds)
+        x3_dss, c3_dss = max_pool_pair(x3_ds, c3_ds, layout=layout)
         x4_ds, c4_ds = mk(c, 5, 2, name="nconv_down3")(x3_dss, c3_dss)
 
         # Decoder: nearest upsample to the skip's size, concat (x, c) skips,
         # 3x3 nconv (pads 1, 1, 0 — the pad-0 stage shrinks by 2)
-        size3 = x3_ds.shape[1:3]
-        x4 = resize_nearest(x4_ds, size3)
-        c4 = resize_nearest(c4_ds, size3)
+        size3 = size_of(x3_ds)
+        x4 = resize_nearest(x4_ds, size3, layout=layout)
+        c4 = resize_nearest(c4_ds, size3, layout=layout)
         x34, c34 = mk(c, 3, 1, name="nconv4")(
-            jnp.concatenate([x3_ds, x4], -1), jnp.concatenate([c3_ds, c4], -1)
+            jnp.concatenate([x3_ds, x4], cat_ax),
+            jnp.concatenate([c3_ds, c4], cat_ax),
         )
 
-        size2 = x2_ds.shape[1:3]
-        x34u = resize_nearest(x34, size2)
-        c34u = resize_nearest(c34, size2)
+        size2 = size_of(x2_ds)
+        x34u = resize_nearest(x34, size2, layout=layout)
+        c34u = resize_nearest(c34, size2, layout=layout)
         x23, c23 = mk(c, 3, 1, name="nconv5")(
-            jnp.concatenate([x2_ds, x34u], -1), jnp.concatenate([c2_ds, c34u], -1)
+            jnp.concatenate([x2_ds, x34u], cat_ax),
+            jnp.concatenate([c2_ds, c34u], cat_ax),
         )
 
-        size1 = x0.shape[1:3]
-        x23u = resize_nearest(x23, size1)
-        c23u = resize_nearest(c23, size1)
+        size1 = (h, w)
+        x23u = resize_nearest(x23, size1, layout=layout)
+        c23u = resize_nearest(c23, size1, layout=layout)
         xout, cout = mk(c, 3, 0, name="nconv6")(
-            jnp.concatenate([x23u, x1], -1), jnp.concatenate([c23u, c1], -1)
+            jnp.concatenate([x23u, x1], cat_ax),
+            jnp.concatenate([c23u, c1], cat_ax),
         )  # (H-2, W-2)
 
         # Final 1x1 fusion with pad 2 (reference's accidental-but-load-bearing
@@ -93,7 +111,10 @@ class NConvUNet(nn.Module):
         xout, cout = mk(1, 1, 2, init="k", name="nconv7")(xout, cout)
 
         # Center-recover the input size: [1:H+1, 1:W+1]
-        h, w = sparse.shape[1:3]
+        if bhcw:
+            xout = xout[:, 1 : h + 1, :, 1 : w + 1].reshape(b, h, w, 1)
+            cout = cout[:, 1 : h + 1, :, 1 : w + 1].reshape(b, h, w, 1)
+            return xout, cout
         return xout[:, 1 : h + 1, 1 : w + 1, :], cout[:, 1 : h + 1, 1 : w + 1, :]
 
 

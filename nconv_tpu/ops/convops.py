@@ -150,6 +150,91 @@ def conv_transpose2d(
 
 
 # ---------------------------------------------------------------------------
+# (B, H, C, W) stride-2 machinery: space-to-depth turns a strided conv into
+# a stride-1 conv the Pallas row-matmul kernel can run, and the 4x4 s2 p1
+# transpose conv becomes a stride-1 conv with phase-stacked output channels
+# plus a depth-to-space interleave.
+# ---------------------------------------------------------------------------
+
+def space_to_depth_bhcw(x: jax.Array, pad: int = 1) -> jax.Array:
+    """(B, H, C, W) -> (B, (H+2p)/2, 4C, (W+2p)/2) with 2x2 phase blocks
+    stacked along channels in (py, px, c) order. ``H+2p`` and ``W+2p`` must
+    be even."""
+    b, h, c, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (pad, pad)))
+    hp, wp = h + 2 * pad, w + 2 * pad
+    assert hp % 2 == 0 and wp % 2 == 0, (hp, wp)
+    xp = xp.reshape(b, hp // 2, 2, c, wp // 2, 2)
+    xp = jnp.transpose(xp, (0, 1, 2, 5, 3, 4))  # b, ho, py, px, c, wo
+    return xp.reshape(b, hp // 2, 4 * c, wp // 2)
+
+
+def conv_kernel_s2d(kernel: jax.Array) -> jax.Array:
+    """HWIO stride-2 kernel -> the stride-1 kernel over a space-to-depth
+    input: K'[qy, qx, (py, px, ci), co] = K[2qy+py, 2qx+px, ci, co]."""
+    kh, kw, cin, cout = kernel.shape
+    khp, kwp = -(-kh // 2), -(-kw // 2)
+    out = jnp.zeros((khp, kwp, 4 * cin, cout), kernel.dtype)
+    for dy in range(kh):
+        qy, py = divmod(dy, 2)
+        for dx in range(kw):
+            qx, px = divmod(dx, 2)
+            blk = (py * 2 + px) * cin
+            out = out.at[qy, qx, blk : blk + cin].set(kernel[dy, dx])
+    return out
+
+
+def shortcut_kernel_s2d(kernel: jax.Array, pad: int = 1) -> jax.Array:
+    """1x1 stride-2 (pad-0) kernel -> 1x1 stride-1 kernel over the *same*
+    padded space-to-depth tensor as the main conv: out[t] = K x[2t] lives in
+    phase (pad%2, pad%2) at offset (pad//2, pad//2) (offset must be 0 here,
+    i.e. pad in {0, 1})."""
+    assert kernel.shape[:2] == (1, 1) and pad in (0, 1)
+    _, _, cin, cout = kernel.shape
+    out = jnp.zeros((1, 1, 4 * cin, cout), kernel.dtype)
+    blk = (pad * 2 + pad) * cin
+    return out.at[0, 0, blk : blk + cin].set(kernel[0, 0])
+
+
+def convtranspose_kernel_phases(kernel: jax.Array) -> jax.Array:
+    """4x4 HWIO transpose-conv kernel -> a 3x3 stride-1 kernel whose output
+    channels stack the four stride-2 phases in (ry, rx, co) order; apply to
+    the input padded by 1 and interleave with :func:`depth_to_space_bhcw`.
+
+    Derivation: out[2t+r] = sum_s K[r+3-2s] x[t-1+s] (s in 0..2, indices
+    outside [0,4) contribute nothing), per axis.
+    """
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (4, 4), "phase form is for the 4x4 s2 p1 decoder conv"
+    out = jnp.zeros((3, 3, cin, 4 * cout), kernel.dtype)
+    for ry in range(2):
+        for rx in range(2):
+            blk = (ry * 2 + rx) * cout
+            for sy in range(3):
+                ky = ry + 3 - 2 * sy
+                if not 0 <= ky < 4:
+                    continue
+                for sx in range(3):
+                    kx = rx + 3 - 2 * sx
+                    if not 0 <= kx < 4:
+                        continue
+                    out = out.at[sy, sx, :, blk : blk + cout].set(
+                        kernel[ky, kx]
+                    )
+    return out
+
+
+def depth_to_space_bhcw(x: jax.Array, cout: int) -> jax.Array:
+    """(B, H, 4*cout, W) with (ry, rx, c)-ordered phase channels ->
+    (B, 2H, cout, 2W)."""
+    b, h, c4, w = x.shape
+    assert c4 == 4 * cout, (c4, cout)
+    x = x.reshape(b, h, 2, 2, cout, w)
+    x = jnp.transpose(x, (0, 1, 2, 4, 5, 3))  # b, h, ry, c, w, rx
+    return x.reshape(b, 2 * h, cout, 2 * w)
+
+
+# ---------------------------------------------------------------------------
 # Torch checkpoint layout adapters (used by the converter and parity tests).
 # ---------------------------------------------------------------------------
 

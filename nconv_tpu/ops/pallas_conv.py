@@ -58,8 +58,8 @@ def auto_row_group(kh: int, cin_p: int, cout: int, max_g: int = 8) -> int:
 
 
 def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
-            cin_p: int, cout: int, th: int, w_out: int, relu: bool,
-            use_bias: bool, g: int):
+            cin_p: int, cout: int, cout_store: int, th: int, w_out: int,
+            relu: bool, use_bias: bool, g: int, residual: bool):
     # Halo load: BlockSpec index maps cannot express overlapping H-tiles, so
     # the padded input stays in HBM and each grid step DMAs its
     # (th + kh - 1)-row slice (halo included) into VMEM scratch.
@@ -95,14 +95,78 @@ def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
-        if use_bias:
-            acc = acc + bias_col
-        if relu:
-            acc = jnp.maximum(acc, 0.0)
-        out_ref[0, pl.ds(h0, g)] = acc.reshape(g, cout, w_out).astype(out_ref.dtype)
+        if residual:
+            # dual conv: channels [0:cout_store) are the main conv, the rest
+            # a shortcut sharing the same input; fused residual epilogue
+            # res = relu(main + bias) + shortcut (RGBEncoder's block form)
+            rows = []
+            for r in range(g):
+                main = acc[r * cout : r * cout + cout_store]
+                short = acc[r * cout + cout_store : (r + 1) * cout]
+                if use_bias:
+                    main = main + bias_col
+                rows.append(jnp.maximum(main, 0.0) + short)
+            res = jnp.concatenate(rows, 0) if g > 1 else rows[0]
+        else:
+            res = acc
+            if use_bias:
+                res = res + bias_col
+            if relu:
+                res = jnp.maximum(res, 0.0)
+        out_ref[0, pl.ds(h0, g)] = res.reshape(g, cout_store, w_out).astype(
+            out_ref.dtype
+        )
         return 0
 
     lax.fori_loop(0, th // g, group, 0)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def _conv2d_bhcw_core(x, kernel, bias, padding, relu, tile_h, residual_channels):
+    return _conv2d_bhcw_impl(
+        x, kernel, bias, padding=padding, relu=relu, tile_h=tile_h,
+        residual_channels=residual_channels,
+    )
+
+
+def _conv2d_bhcw_reference(x, kernel, bias, padding, relu, residual_channels):
+    """Same math in plain XLA (NHWC conv on transposed operands) — used as
+    the differentiation reference for the custom VJP."""
+    from .convops import conv2d as conv2d_xla
+
+    b = None if (bias is None or bias.ndim == 0) else bias
+    x_nhwc = jnp.transpose(x, (0, 1, 3, 2)).astype(kernel.dtype)
+    if residual_channels is not None:
+        n = residual_channels
+        main = conv2d_xla(x_nhwc, kernel[..., :n], b, padding=padding)
+        short = conv2d_xla(x_nhwc, kernel[..., n:], padding=padding)
+        out = jax.nn.relu(main) + short
+    else:
+        out = conv2d_xla(x_nhwc, kernel, b, padding=padding)
+        if relu:
+            out = jax.nn.relu(out)
+    return jnp.transpose(out, (0, 1, 3, 2))
+
+
+def _conv2d_bhcw_fwd(x, kernel, bias, padding, relu, tile_h, residual_channels):
+    out = _conv2d_bhcw_core(x, kernel, bias, padding, relu, tile_h, residual_channels)
+    return out, (x, kernel, bias)
+
+
+def _conv2d_bhcw_bwd(padding, relu, tile_h, residual_channels, res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, kk, bb: _conv2d_bhcw_reference(
+            xx, kk, bb, padding, relu, residual_channels
+        ),
+        x, kernel, bias,
+    )
+    return vjp(g)
+
+
+_conv2d_bhcw_core.defvjp(_conv2d_bhcw_fwd, _conv2d_bhcw_bwd)
 
 
 def conv2d_pallas_bhcw(
@@ -113,13 +177,47 @@ def conv2d_pallas_bhcw(
     padding: int = 1,
     relu: bool = False,
     tile_h: int | None = None,
+    residual_channels: int | None = None,
+) -> jax.Array:
+    """Differentiable wrapper over the fused kernel: the forward runs the
+    Pallas row-matmul kernel; gradients come from an exact XLA formulation
+    of the same math (``jax.custom_vjp``), so ``backend='pallas'`` models
+    are trainable."""
+    if bias is None:
+        bias = jnp.zeros((), kernel.dtype)  # sentinel: scalar == no bias
+    return _conv2d_bhcw_core(
+        x, kernel, bias, padding, relu, tile_h, residual_channels
+    )
+
+
+def _conv2d_bhcw_impl(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    padding: int = 1,
+    relu: bool = False,
+    tile_h: int | None = None,
+    residual_channels: int | None = None,
 ) -> jax.Array:
     """Stride-1 conv on (B, H, C, W) operands; kernel HWIO. Fuses bias and
     optional ReLU. Integer inputs (uint8 camera frames) are decoded to float
-    inside the kernel. Returns (B, H_out, Cout, W_out) in the kernel dtype."""
+    inside the kernel. Returns (B, H_out, Cout, W_out) in the kernel dtype.
+
+    ``residual_channels=N``: the kernel's output channels are a stacked pair
+    [main(N) ‖ shortcut(rest, typically N)] sharing this input; the kernel
+    stores ``relu(main + bias) + shortcut`` over N channels in one pass —
+    the RGBEncoder residual block fused into a single HBM read/write.
+    """
+    if bias is not None and bias.ndim == 0:
+        bias = None  # scalar sentinel from the differentiable wrapper
     kh, kw, cin, cout = kernel.shape
     b, h, cin_in, w = x.shape
     assert cin_in == cin, (cin_in, cin)
+    residual = residual_channels is not None
+    cout_store = residual_channels if residual else cout
+    if residual:
+        assert cout == 2 * cout_store, (cout, cout_store)
     out_dtype = kernel.dtype if jnp.issubdtype(x.dtype, jnp.integer) else x.dtype
     p = padding
     h_out = h + 2 * p - (kh - 1)
@@ -167,12 +265,19 @@ def conv2d_pallas_bhcw(
     )
 
     use_bias = bias is not None
-    bias_arr = (bias if use_bias else jnp.zeros((cout,), out_dtype))
-    bias_arr = jnp.tile(bias_arr, g).reshape(-1, 1)  # (g*cout, 1)
+    if residual:
+        # residual epilogue indexes bias per row group: plain (cout_store, 1)
+        bias_arr = (
+            bias if use_bias else jnp.zeros((cout_store,), out_dtype)
+        ).reshape(-1, 1)
+    else:
+        bias_arr = (bias if use_bias else jnp.zeros((cout,), out_dtype))
+        bias_arr = jnp.tile(bias_arr, g).reshape(-1, 1)  # (g*cout, 1)
 
     kfun = functools.partial(
-        _kernel, kh=kh, kw=kw, cin_p=cin_p, cout=cout, th=th, w_out=w_out,
-        relu=relu, use_bias=use_bias, g=g,
+        _kernel, kh=kh, kw=kw, cin_p=cin_p, cout=cout, cout_store=cout_store,
+        th=th, w_out=w_out, relu=relu, use_bias=use_bias, g=g,
+        residual=residual,
     )
     out = pl.pallas_call(
         kfun,
@@ -183,10 +288,12 @@ def conv2d_pallas_bhcw(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, cout, w_out), lambda bi, hi: (bi, hi, 0, 0),
+            (1, th, cout_store, w_out), lambda bi, hi: (bi, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * th, cout, w_out), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_tiles * th, cout_store, w_out), out_dtype
+        ),
         scratch_shapes=[
             pltpu.VMEM((th + kh - 1, cin_p, wp), x.dtype),
             pltpu.SemaphoreType.DMA,

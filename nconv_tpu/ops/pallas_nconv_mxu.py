@@ -108,6 +108,45 @@ def build_tap_matrices(w_pos: jax.Array, cin_pad: int) -> tuple[jax.Array, jax.A
     return w2, wsum
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _nconv_bhcw_core(data, conf, kernel, bias, padding, pos_fn, eps, tile_h):
+    return _nconv_bhcw_impl(
+        data, conf, kernel, bias, padding=padding, pos_fn=pos_fn, eps=eps,
+        tile_h=tile_h,
+    )
+
+
+def _nconv_bhcw_reference(data, conf, kernel, bias, padding, pos_fn, eps):
+    """Plain-XLA formulation of the same math for the custom VJP."""
+    from .nconv import nconv2d
+
+    b = None if (bias is None or bias.ndim == 0) else bias
+    t = lambda a: jnp.transpose(a, (0, 1, 3, 2))
+    out, cout = nconv2d(
+        t(data), t(conf), kernel, b, padding=padding, pos_fn=pos_fn, eps=eps
+    )
+    return t(out), t(cout)
+
+
+def _nconv_bhcw_fwd(data, conf, kernel, bias, padding, pos_fn, eps, tile_h):
+    out = _nconv_bhcw_core(data, conf, kernel, bias, padding, pos_fn, eps, tile_h)
+    return out, (data, conf, kernel, bias)
+
+
+def _nconv_bhcw_bwd(padding, pos_fn, eps, tile_h, res, g):
+    data, conf, kernel, bias = res
+    _, vjp = jax.vjp(
+        lambda d, c, k, b: _nconv_bhcw_reference(
+            d, c, k, b, padding, pos_fn, eps
+        ),
+        data, conf, kernel, bias,
+    )
+    return vjp(g)
+
+
+_nconv_bhcw_core.defvjp(_nconv_bhcw_fwd, _nconv_bhcw_bwd)
+
+
 def nconv2d_pallas_mxu_bhcw(
     data: jax.Array,
     conf: jax.Array,
@@ -123,7 +162,28 @@ def nconv2d_pallas_mxu_bhcw(
 
     The native entry point for chains: layers stay in BHCW end to end, so
     the NHWC<->BHCW transpose happens only at graph boundaries.
+
+    Differentiable: the forward runs the fused Pallas kernel; gradients come
+    from an exact XLA formulation via ``jax.custom_vjp``, so
+    ``backend='pallas'`` models are trainable (the reference's training hot
+    loop, `train_step1.py:61-65`).
     """
+    if bias is None:
+        bias = jnp.zeros((), kernel.dtype)  # scalar sentinel == no bias
+    return _nconv_bhcw_core(data, conf, kernel, bias, padding, pos_fn, eps, tile_h)
+
+
+def _nconv_bhcw_impl(
+    data: jax.Array,
+    conf: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    padding: int = 0,
+    pos_fn: str = "softplus",
+    eps: float = EPS_DEFAULT,
+    tile_h: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
     kh, kw, cin, cout = kernel.shape
     b, h, cin_in, w = data.shape
     assert cin_in == cin, (cin_in, cin)
@@ -136,7 +196,7 @@ def nconv2d_pallas_mxu_bhcw(
     cin_pad = max(_round_up(cin, 4), 4)
     w_pos = POS_FNS[pos_fn](kernel)
     w2, wsum = build_tap_matrices(w_pos, cin_pad)
-    if bias is None:
+    if bias is None or bias.ndim == 0:  # None or scalar sentinel
         bias = jnp.zeros((cout,), data.dtype)
 
     dc = data * conf

@@ -12,28 +12,38 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def max_pool2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
-    """``F.max_pool2d`` parity (floor mode, no padding) on NHWC."""
+def max_pool2d(
+    x: jax.Array, window: int = 2, stride: int | None = None,
+    layout: str = "nhwc",
+) -> jax.Array:
+    """``F.max_pool2d`` parity (floor mode, no padding); NHWC or BHCW."""
     stride = stride or window
+    if layout == "bhcw":
+        dims, strides = (1, window, 1, window), (1, stride, 1, stride)
+    else:
+        dims, strides = (1, window, window, 1), (1, stride, stride, 1)
     return lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         lax.max,
-        window_dimensions=(1, window, window, 1),
-        window_strides=(1, stride, stride, 1),
+        window_dimensions=dims,
+        window_strides=strides,
         padding="VALID",
     )
 
 
 def max_pool_pair(
-    x: jax.Array, c: jax.Array, window: int = 2
+    x: jax.Array, c: jax.Array, window: int = 2, layout: str = "nhwc"
 ) -> tuple[jax.Array, jax.Array]:
     """Jointly max-pool a (signal, confidence) pair with one reduce-window.
 
     Note this is elementwise-independent max (exactly the reference's two
     separate pools), *not* confidence-argmax pooling.
     """
-    stacked = jnp.concatenate([x, c], axis=-1)
-    pooled = max_pool2d(stacked, window)
-    ch = x.shape[-1]
+    ch_axis = 2 if layout == "bhcw" else -1
+    stacked = jnp.concatenate([x, c], axis=ch_axis)
+    pooled = max_pool2d(stacked, window, layout=layout)
+    ch = x.shape[ch_axis]
+    if layout == "bhcw":
+        return pooled[:, :, :ch], pooled[:, :, ch:]
     return pooled[..., :ch], pooled[..., ch:]

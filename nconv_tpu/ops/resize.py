@@ -23,20 +23,25 @@ def _nearest_indices(out_size: int, in_size: int) -> np.ndarray:
     return np.clip(idx, 0, in_size - 1)
 
 
-def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
-    """Nearest-neighbour resize to ``size=(H, W)``; torch 'nearest' convention.
+def resize_nearest(
+    x: jax.Array, size: tuple[int, int], layout: str = "nhwc"
+) -> jax.Array:
+    """Nearest-neighbour resize to ``size=(H, W)``; torch 'nearest'
+    convention. NHWC or BHCW.
 
     (An integer-factor broadcast+reshape variant was tried and measured
     *slower* than the gather on v5e — the cross-lane reshape costs more
     than the gather's relayout — so this stays gather-based.)
     """
     h_out, w_out = size
-    _, h_in, w_in, _ = x.shape
+    w_axis = 3 if layout == "bhcw" else 2
+    h_in, w_in = x.shape[1], x.shape[w_axis]
     if (h_out, w_out) == (h_in, w_in):
         return x
     hi = _nearest_indices(h_out, h_in)
     wi = _nearest_indices(w_out, w_in)
-    return x[:, hi, :, :][:, :, wi, :]
+    x = x[:, hi]
+    return x[:, :, :, wi] if layout == "bhcw" else x[:, :, wi, :]
 
 
 def _linear_weights_align_true(out_size: int, in_size: int):

@@ -151,3 +151,16 @@ def test_infer_command(tmp_path, capsys):
     assert any(f.endswith("_vis.png") for f in outs)
     dense = dio.load_depth_png16(str(outdir / "0_rgb_depth.png"))
     assert dense.shape == (96, 128) and np.isfinite(dense).all()
+
+
+def test_bench_train_mode(capsys):
+    from nconv_tpu.cli import main
+
+    rc = main([
+        "bench", "--train", "--height", "48", "--width", "64",
+        "--backend", "xla",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["unguided_train_ms_per_batch"] > 0
+    assert out["guided_train_ms_per_batch"] > 0

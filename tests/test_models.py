@@ -200,3 +200,37 @@ def test_fold_batchnorm_exact_equivalence():
     np.testing.assert_allclose(
         np.asarray(out0), np.asarray(ref0), atol=2e-6, rtol=1e-5
     )
+
+
+def test_full_bhcw_pallas_graph_matches_xla():
+    """backend='pallas' + fold_bn=True runs the whole guided graph in
+    (B,H,C,W) — fused RGBEncoder blocks (stride-2 via space-to-depth),
+    phased transpose convs, BHCW fusion chains. Must match the plain XLA
+    graph (interpret mode)."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nconv_tpu.models import GuidedDepthNet, fold_batchnorm_variables
+
+    rng = np.random.default_rng(0)
+    h, w = 104, 128
+    rgb = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+    truth = np.fromfunction(
+        lambda n, i, j, c: 2 + np.sin(i / 10) + np.cos(j / 12), (1, h, w, 1)
+    ).astype(np.float32)
+    d = jnp.asarray(truth * (rng.random((1, h, w, 1)) < 0.15))
+
+    model = GuidedDepthNet()
+    v = model.init(jax.random.key(0), rgb, d, rgb, d)
+    for _ in range(2):
+        _, mut = model.apply(v, rgb, d, rgb, d, True, mutable=["batch_stats"])
+        v = {**v, "batch_stats": mut["batch_stats"]}
+    ref0, _ = model.apply(v, rgb, d, rgb, d, method=GuidedDepthNet.export)
+
+    bm = GuidedDepthNet(backend="pallas", fold_bn=True)
+    fv = fold_batchnorm_variables(v)
+    with pltpu.force_tpu_interpret_mode():
+        out0, _ = bm.apply(fv, rgb, d, rgb, d, method=GuidedDepthNet.export)
+    np.testing.assert_allclose(
+        np.asarray(out0), np.asarray(ref0), atol=5e-5, rtol=1e-4
+    )

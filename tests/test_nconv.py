@@ -171,3 +171,65 @@ def test_pallas_unguided_unet_matches_xla_interpret():
         op, cp = m_p.apply(v, d)
     np.testing.assert_allclose(np.asarray(op), np.asarray(ox), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cp), np.asarray(cx), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_nconv_grads_match_xla():
+    """backend='pallas' is trainable: custom_vjp gives the same gradients as
+    the XLA formulation (reference training loop, train_step1.py:61-65)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nconv_tpu.models import NConvUNet
+
+    rng = np.random.default_rng(3)
+    h, w = 24, 32
+    truth = np.fromfunction(
+        lambda n, i, j, c: 2 + np.sin(i / 5) + np.cos(j / 6), (1, h, w, 1)
+    ).astype(np.float32)
+    d = jnp.asarray(truth * (rng.random((1, h, w, 1)) < 0.2))
+    gt = jnp.asarray(truth)
+
+    m_x = NConvUNet(backend="xla")
+    m_p = NConvUNet(backend="pallas")
+    v = m_x.init(jax.random.key(0), d)
+
+    def loss(model, params):
+        pred, _ = model.apply(params, d)
+        return jnp.mean((pred - gt) ** 2)
+
+    g_x = jax.grad(lambda p: loss(m_x, p))(v)
+    with pltpu.force_tpu_interpret_mode():
+        g_p = jax.grad(lambda p: loss(m_p, p))(v)
+    flat_x, _ = jax.tree.flatten(g_x)
+    flat_p, _ = jax.tree.flatten(g_p)
+    for a, b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_pallas_conv_grads_match_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nconv_tpu.ops import conv2d
+    from nconv_tpu.ops.pallas_conv import conv2d_pallas_bhcw
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 16, 10, 24)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 10, 6)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((6,)).astype(np.float32))
+
+    def loss_p(x, k, b):
+        return jnp.sum(conv2d_pallas_bhcw(x, k, b, padding=1, relu=True) ** 2)
+
+    def loss_x(x, k, b):
+        out = jax.nn.relu(
+            conv2d(jnp.transpose(x, (0, 1, 3, 2)), k, b, padding=1)
+        )
+        return jnp.sum(out**2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, k, b)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(x, k, b)
+    gx = (jnp.transpose(gx[0], (0, 1, 3, 2)) if False else gx[0], gx[1], gx[2])
+    for a, c in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4, rtol=1e-4)

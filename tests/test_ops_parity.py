@@ -125,3 +125,84 @@ def test_conv_transpose2d_phased_matches_dilated():
         jnp.asarray(x), k, jnp.asarray(b), stride=2, padding=1, method="phased"
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+class TestStride2Machinery:
+    """space-to-depth / phase-kernel transforms (ops/convops.py) that let the
+    stride-1 Pallas row-matmul kernel run the guided net's strided convs."""
+
+    def setup_method(self):
+        self.rng = np.random.default_rng(7)
+
+    def _rand(self, *shape):
+        return jnp.asarray(self.rng.standard_normal(shape).astype(np.float32))
+
+    def test_s2d_conv_matches_strided_conv(self):
+        from nconv_tpu.ops import conv2d
+        from nconv_tpu.ops.convops import conv_kernel_s2d, space_to_depth_bhcw
+
+        x = self._rand(2, 16, 24, 5)
+        k = self._rand(3, 3, 5, 7)
+        ref = conv2d(x, k, stride=2, padding=1)
+        s2d = space_to_depth_bhcw(jnp.transpose(x, (0, 1, 3, 2)), pad=1)
+        got = conv2d(
+            jnp.transpose(s2d, (0, 1, 3, 2)), conv_kernel_s2d(k),
+            stride=1, padding=0,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_s2d_shortcut_matches_1x1_stride2(self):
+        from nconv_tpu.ops import conv2d
+        from nconv_tpu.ops.convops import shortcut_kernel_s2d, space_to_depth_bhcw
+
+        x = self._rand(1, 16, 24, 5)
+        k1 = self._rand(1, 1, 5, 7)
+        ref = conv2d(x, k1, stride=2, padding=0)
+        s2d = space_to_depth_bhcw(jnp.transpose(x, (0, 1, 3, 2)), pad=1)
+        ks = shortcut_kernel_s2d(k1, pad=1)
+        # embed in the main conv's 2x2 tap grid: geometry then matches
+        ks2 = jnp.zeros((2, 2) + ks.shape[2:]).at[0, 0].set(ks[0, 0])
+        got = conv2d(jnp.transpose(s2d, (0, 1, 3, 2)), ks2, stride=1, padding=0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_convtranspose_phase_form_matches(self):
+        from nconv_tpu.ops import conv2d, conv_transpose2d
+        from nconv_tpu.ops.convops import (
+            convtranspose_kernel_phases,
+            depth_to_space_bhcw,
+        )
+
+        x = self._rand(2, 10, 14, 6)
+        k4 = self._rand(4, 4, 6, 9)
+        ref = conv_transpose2d(x, k4, stride=2, padding=1)
+        ph = conv2d(x, convtranspose_kernel_phases(k4), stride=1, padding=1)
+        out = depth_to_space_bhcw(jnp.transpose(ph, (0, 1, 3, 2)), 9)
+        got = jnp.transpose(out, (0, 1, 3, 2))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_residual_dual_conv_kernel(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from nconv_tpu.ops import conv2d
+        from nconv_tpu.ops.pallas_conv import conv2d_pallas_bhcw
+
+        x = self._rand(1, 24, 40, 6)
+        km = self._rand(3, 3, 6, 10)
+        ks1 = self._rand(1, 1, 6, 10)
+        bias = self._rand(10)
+        import jax
+
+        ref = jax.nn.relu(conv2d(x, km, bias, padding=1)) + conv2d(
+            x, ks1, padding=0
+        )
+        ks3 = jnp.zeros((3, 3, 6, 10)).at[1, 1].set(ks1[0, 0])
+        kcat = jnp.concatenate([km, ks3], -1)
+        with pltpu.force_tpu_interpret_mode():
+            got = conv2d_pallas_bhcw(
+                jnp.transpose(x, (0, 1, 3, 2)), kcat, bias, padding=1,
+                residual_channels=10,
+            )
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(got, (0, 1, 3, 2))), np.asarray(ref),
+            atol=1e-4,
+        )
