@@ -209,6 +209,108 @@ int depthio_load_rgb_u8(const char* path, int bgr, uint8_t* out, int h, int w) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Single-open decoders: info + pixels in one open/parse. The two-call
+// png_info() + load() pattern opened and header-parsed every file twice,
+// which serializes threads on filesystem work; these return the dimensions
+// through out-params instead. `cap` is the element capacity of `out`;
+// returns -20 if the image doesn't fit (caller grows its buffer and
+// retries).
+// ---------------------------------------------------------------------------
+
+int depthio_read_depth_f32(const char* path, float scale_div, float* out,
+                           long cap, int* h, int* w) {
+  PngImage img;
+  int rc = read_png(path, &img, /*want_rgb8=*/false);
+  if (rc) return rc;
+  if (img.channels != 1) return -10;
+  *h = (int)img.height;
+  *w = (int)img.width;
+  if ((long)img.height * img.width > cap) return -20;
+  const float inv = 1.0f / scale_div;
+  if (img.bit_depth == 16) {
+    for (png_uint_32 y = 0; y < img.height; ++y) {
+      const uint16_t* row = reinterpret_cast<const uint16_t*>(img.rows[y]);
+      float* orow = out + (size_t)y * img.width;
+      for (png_uint_32 x = 0; x < img.width; ++x) orow[x] = row[x] * inv;
+    }
+  } else if (img.bit_depth == 8) {
+    for (png_uint_32 y = 0; y < img.height; ++y) {
+      const uint8_t* row = img.rows[y];
+      float* orow = out + (size_t)y * img.width;
+      for (png_uint_32 x = 0; x < img.width; ++x) orow[x] = row[x] * inv;
+    }
+  } else {
+    return -11;
+  }
+  return 0;
+}
+
+int depthio_read_depth_u16(const char* path, uint16_t* out, long cap, int* h,
+                           int* w) {
+  PngImage img;
+  int rc = read_png(path, &img, false);
+  if (rc) return rc;
+  if (img.channels != 1 || img.bit_depth != 16) return -11;
+  *h = (int)img.height;
+  *w = (int)img.width;
+  if ((long)img.height * img.width > cap) return -20;
+  for (png_uint_32 y = 0; y < img.height; ++y)
+    std::memcpy(out + (size_t)y * img.width, img.rows[y],
+                sizeof(uint16_t) * img.width);
+  return 0;
+}
+
+int depthio_read_rgb_u8(const char* path, int bgr, uint8_t* out, long cap,
+                        int* h, int* w) {
+  PngImage img;
+  int rc = read_png(path, &img, /*want_rgb8=*/true);
+  if (rc) return rc;
+  if (img.channels != 3) return -10;
+  *h = (int)img.height;
+  *w = (int)img.width;
+  if ((long)img.height * img.width * 3 > cap) return -20;
+  for (png_uint_32 y = 0; y < img.height; ++y) {
+    const uint8_t* row = img.rows[y];
+    uint8_t* orow = out + (size_t)y * img.width * 3;
+    if (bgr) {
+      for (png_uint_32 x = 0; x < img.width; ++x) {
+        orow[3 * x + 0] = row[3 * x + 2];
+        orow[3 * x + 1] = row[3 * x + 1];
+        orow[3 * x + 2] = row[3 * x + 0];
+      }
+    } else {
+      std::memcpy(orow, row, (size_t)img.width * 3);
+    }
+  }
+  return 0;
+}
+
+int depthio_read_rgb_f32(const char* path, int bgr, float* out, long cap,
+                         int* h, int* w) {
+  PngImage img;
+  int rc = read_png(path, &img, true);
+  if (rc) return rc;
+  if (img.channels != 3) return -10;
+  *h = (int)img.height;
+  *w = (int)img.width;
+  if ((long)img.height * img.width * 3 > cap) return -20;
+  for (png_uint_32 y = 0; y < img.height; ++y) {
+    const uint8_t* row = img.rows[y];
+    float* orow = out + (size_t)y * img.width * 3;
+    if (bgr) {
+      for (png_uint_32 x = 0; x < img.width; ++x) {
+        orow[3 * x + 0] = row[3 * x + 2];
+        orow[3 * x + 1] = row[3 * x + 1];
+        orow[3 * x + 2] = row[3 * x + 0];
+      }
+    } else {
+      for (png_uint_32 x = 0; x < img.width * 3; ++x) orow[x] = row[x];
+    }
+  }
+  return 0;
+}
+
 // Top-aligned-row / centered-col crop (the dataset convention,
 // kittiloader.py:53-59): in (h, w, c) -> out (oh, ow, c).
 void depthio_crop_top_center(const float* in, int h, int w, int c, int oh,

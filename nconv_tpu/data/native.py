@@ -67,8 +67,57 @@ def _load():
         lib.depthio_crop_top_center.argtypes = [fp, i, i, i, i, i, fp]
         lib.depthio_apply_mask.argtypes = [fp, fp, ctypes.c_long]
         lib.depthio_encode_depth_wire.argtypes = [fp, u16p, ctypes.c_long]
+        # single-open entries (info + pixels in one open; older .so builds
+        # may lack them — loaders fall back to the two-call pattern)
+        ip = ctypes.POINTER(i)
+        lg = ctypes.c_long
+        for name, args in (
+            ("depthio_read_depth_f32", [c, f, fp, lg, ip, ip]),
+            ("depthio_read_depth_u16", [c, u16p, lg, ip, ip]),
+            ("depthio_read_rgb_u8", [c, i, u8p, lg, ip, ip]),
+            ("depthio_read_rgb_f32", [c, i, fp, lg, ip, ip]),
+        ):
+            if hasattr(lib, name):
+                getattr(lib, name).argtypes = args
         _lib = lib
         return _lib
+
+
+# Per-thread reusable decode buffers (one open per file, one allocation per
+# thread; sized for KITTI raw 376x1242 with headroom, grown on demand).
+_tls = threading.local()
+_DEFAULT_CAP = 1536 * 2560
+
+
+def _tls_buf(kind: str, dtype, min_cap: int = 0):
+    cap = max(_DEFAULT_CAP * (3 if "rgb" in kind else 1), min_cap)
+    buf = getattr(_tls, kind, None)
+    if buf is None or buf.size < cap:
+        buf = np.empty(cap, dtype)
+        setattr(_tls, kind, buf)
+    return buf
+
+
+def _read_single_open(fn_name: str, kind: str, dtype, path: str, *lead_args):
+    """Call a single-open C decoder with the thread-local buffer, growing it
+    once on a -20 (too small) return. Returns an (h, w[, c]) copy."""
+    import ctypes as ct
+
+    lib = _load()
+    fn = getattr(lib, fn_name)
+    h = ct.c_int()
+    w = ct.c_int()
+    buf = _tls_buf(kind, dtype)
+    rc = fn(path.encode(), *lead_args, buf, buf.size, h, w)
+    if rc == -20:
+        ch = 3 if "rgb" in kind else 1
+        buf = _tls_buf(kind, dtype, min_cap=h.value * w.value * ch)
+        rc = fn(path.encode(), *lead_args, buf, buf.size, h, w)
+    if rc:
+        raise IOError(f"{fn_name}({path}) failed: {rc}")
+    if "rgb" in kind:
+        return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+    return buf[: h.value * w.value].reshape(h.value, w.value).copy()
 
 
 def available() -> bool:
@@ -96,6 +145,13 @@ def load_depth_png16(path: str, scale: float = 256.0) -> np.ndarray:
         from . import io
 
         return io.load_depth_png16(path)
+    import ctypes as ct
+
+    if hasattr(lib, "depthio_read_depth_f32"):
+        return _read_single_open(
+            "depthio_read_depth_f32", "depth_f32", np.float32, path,
+            ct.c_float(scale),
+        )
     w, h, _, _ = png_info(path)
     out = np.empty((h, w), np.float32)
     rc = lib.depthio_load_depth_f32(path.encode(), scale, out, h, w)
@@ -111,6 +167,10 @@ def load_depth_wire_u16(path: str) -> np.ndarray:
         from . import io
 
         return np.clip(io.load_depth_png16(path) * 256.0, 0, 65535).astype(np.uint16)
+    if hasattr(lib, "depthio_read_depth_u16"):
+        return _read_single_open(
+            "depthio_read_depth_u16", "depth_u16", np.uint16, path
+        )
     w, h, _, _ = png_info(path)
     out = np.empty((h, w), np.uint16)
     rc = lib.depthio_load_depth_u16(path.encode(), out, h, w)
@@ -125,6 +185,12 @@ def load_rgb(path: str, *, bgr: bool = True) -> np.ndarray:
         from . import io
 
         return io.load_rgb(path, bgr=bgr)
+    import ctypes as ct
+
+    if hasattr(lib, "depthio_read_rgb_f32"):
+        return _read_single_open(
+            "depthio_read_rgb_f32", "rgb_f32", np.float32, path, ct.c_int(int(bgr))
+        )
     w, h, _, _ = png_info(path)
     out = np.empty((h, w, 3), np.float32)
     rc = lib.depthio_load_rgb_f32(path.encode(), int(bgr), out, h, w)
@@ -137,6 +203,12 @@ def load_rgb_wire_u8(path: str, *, bgr: bool = True) -> np.ndarray:
     lib = _load()
     if lib is None:
         return load_rgb(path, bgr=bgr).astype(np.uint8)
+    import ctypes as ct
+
+    if hasattr(lib, "depthio_read_rgb_u8"):
+        return _read_single_open(
+            "depthio_read_rgb_u8", "rgb_u8", np.uint8, path, ct.c_int(int(bgr))
+        )
     w, h, _, _ = png_info(path)
     out = np.empty((h, w, 3), np.uint8)
     rc = lib.depthio_load_rgb_u8(path.encode(), int(bgr), out, h, w)

@@ -98,3 +98,52 @@ def test_apply_mask_does_not_mutate_input():
     np.testing.assert_array_equal(d, d_orig)
     np.testing.assert_array_equal(out, np.zeros_like(d))
     assert out is not d
+
+
+def test_single_open_entries_present_and_match(depth_png, rgb_png):
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    dpath, _ = depth_png
+    rpath, rarr = rgb_png
+    lib = native._load()
+    assert hasattr(lib, "depthio_read_depth_f32"), "rebuild native/libdepthio.so"
+    d = native.load_depth_png16(dpath)
+    r = native.load_rgb_wire_u8(rpath, bgr=False)
+    assert d.ndim == 2 and r.shape[2] == 3
+    np.testing.assert_allclose(d, io.load_depth_png16(dpath), atol=1e-6)
+    np.testing.assert_array_equal(r, rarr)
+
+
+def test_loader_thread_throughput(tmp_path):
+    """Single-open decode must not collapse under threads (the old
+    png_info+load double-open measured 4 threads = 0.5x on one core). On
+    multi-core machines, require real scaling."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    import os
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(8):
+        arr = (rng.random((352, 640)) * 20000).astype(np.uint16)
+        p = str(tmp_path / f"d{i}.png")
+        Image.fromarray(arr, mode="I;16").save(p)
+        paths.append(p)
+
+    def sweep(pool_size, n=48):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(pool_size) as ex:
+            list(ex.map(native.load_depth_png16, (paths[i % 8] for i in range(n))))
+        return n / (time.perf_counter() - t0)
+
+    sweep(1, 8)  # warm page cache
+    r1 = sweep(1)
+    r4 = sweep(4)
+    # never catastrophically worse under threads
+    assert r4 > 0.6 * r1, (r1, r4)
+    if (os.cpu_count() or 1) >= 4:
+        assert r4 > 1.8 * r1, (r1, r4)
