@@ -24,11 +24,17 @@ def export_guided(
     *,
     height: int,
     width: int,
-    batch: int = 1,
+    batch: int | None = None,
     compute_dtype=jnp.float32,
     model: GuidedDepthNet | None = None,
 ) -> jexport.Exported:
-    """Trace + lower the deployment forward to a serializable Exported."""
+    """Trace + lower the deployment forward to a serializable Exported.
+
+    ``batch=None`` (default) exports a **dynamic batch axis** via
+    ``jax.export`` symbolic shapes — matching the reference's ONNX contract,
+    which declares a dynamic batch dim on all 4 inputs / 2 outputs
+    (`/root/reference/export_to_onnx.py:65-73`). Pass an int for a
+    fixed-batch artifact."""
     model = model or GuidedDepthNet(dtype=compute_dtype)
     frozen = jax.tree.map(jnp.asarray, variables)
 
@@ -39,8 +45,12 @@ def export_guided(
             method=GuidedDepthNet.export,
         )
 
-    rgb_spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
-    d_spec = jax.ShapeDtypeStruct((batch, height, width, 1), jnp.float32)
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = batch
+    rgb_spec = jax.ShapeDtypeStruct((b, height, width, 3), jnp.float32)
+    d_spec = jax.ShapeDtypeStruct((b, height, width, 1), jnp.float32)
     return jexport.export(jax.jit(fn))(rgb_spec, d_spec, rgb_spec, d_spec)
 
 

@@ -137,3 +137,28 @@ def test_profile_fn_runs_on_cpu():
     assert p.n_iters == 2
     assert p.ms_per_iter >= 0.0
     assert "device time" in p.report()
+
+
+def test_dynamic_batch_export_serves_multiple_batch_sizes(tmp_path):
+    """Default export carries a symbolic batch axis (the reference ONNX
+    contract, export_to_onnx.py:65-73): one artifact serves b=1 and b=2."""
+    import numpy as np
+
+    from nconv_tpu.models import GuidedDepthNet
+    from nconv_tpu.runtime import export_guided, load_exported, save_exported
+
+    rng = np.random.default_rng(0)
+    h, w = 104, 128
+    rgb1 = np.asarray(rng.random((1, h, w, 3)), np.float32)
+    d1 = np.asarray(rng.random((1, h, w, 1)), np.float32)
+    v = GuidedDepthNet().init(jax.random.key(0), rgb1, d1, rgb1, d1)
+
+    path = save_exported(
+        export_guided(v, height=h, width=w), str(tmp_path / "dyn.stablehlo")
+    )
+    call = load_exported(path)
+    for b in (1, 2):
+        rgb = np.asarray(rng.random((b, h, w, 3)), np.float32)
+        d = np.asarray(rng.random((b, h, w, 1)), np.float32)
+        o0, o1 = call(rgb, d, rgb, d)
+        assert o0.shape == (b, h, w, 1) and o1.shape == (b, h, w, 1)
