@@ -11,8 +11,10 @@ from .mesh import (
     shard_batch,
     spatial_sharding,
 )
+from .serving import DataParallelEngine
 
 __all__ = [
+    "DataParallelEngine",
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",

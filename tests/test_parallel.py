@@ -95,3 +95,89 @@ def test_trainer_on_multi_device_mesh():
     result = trainer.fit(lambda: iter(batches), lambda: iter(batches[:1]), resume=False)
     assert np.isfinite(result.best_val_loss)
     assert result.history["train_loss"][-1] < result.history["train_loss"][0] * 1.5
+
+
+def test_data_parallel_serving_matches_single_device():
+    """DataParallelEngine: 8 two-stream rigs sharded over the 8-device mesh
+    produce exactly the single-device outputs (weights replicated, batch
+    parallel — the rack-scale serving mode)."""
+    from nconv_tpu.models import GuidedDepthNet, fold_batchnorm_variables
+    from nconv_tpu.parallel import DataParallelEngine, make_mesh
+
+    rng = np.random.default_rng(0)
+    h, w = 104, 128
+    n = 8
+    rgb0 = rng.random((n, h, w, 3)).astype(np.float32)
+    rgb1 = rng.random((n, h, w, 3)).astype(np.float32)
+    truth = np.fromfunction(
+        lambda b, i, j, c: 2 + np.sin(i / 10) + np.cos(j / 12), (n, h, w, 1)
+    ).astype(np.float32)
+    d0 = (truth * (rng.random((n, h, w, 1)) < 0.15)).astype(np.float32)
+    d1 = (truth * (rng.random((n, h, w, 1)) < 0.15)).astype(np.float32)
+
+    model = GuidedDepthNet()
+    v = model.init(jax.random.key(0), rgb0[:1], d0[:1], rgb0[:1], d0[:1])
+    for _ in range(2):
+        _, mut = model.apply(
+            v, rgb0[:1], d0[:1], rgb0[:1], d0[:1], True, mutable=["batch_stats"]
+        )
+        v = {**v, "batch_stats": mut["batch_stats"]}
+
+    mesh = make_mesh(n_data=8)
+    engine = DataParallelEngine(v, height=h, width=w, mesh=mesh)
+    out0, out1 = engine(rgb0, d0, rgb1, d1)
+
+    # single-device reference, same folded graph, one rig at a time
+    folded_model = GuidedDepthNet(fold_bn=True)
+    fv = fold_batchnorm_variables(v)
+    for i in range(n):
+        r0, r1 = folded_model.apply(
+            fv, rgb0[i : i + 1], d0[i : i + 1], rgb1[i : i + 1], d1[i : i + 1],
+            method=GuidedDepthNet.export,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out0[i : i + 1]), np.asarray(r0), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out1[i : i + 1]), np.asarray(r1), atol=1e-5
+        )
+
+
+def test_data_parallel_serving_pads_ragged_batches():
+    from nconv_tpu.models import GuidedDepthNet
+    from nconv_tpu.parallel import DataParallelEngine, make_mesh
+
+    rng = np.random.default_rng(1)
+    h, w = 104, 128
+    rgb = rng.random((3, h, w, 3)).astype(np.float32)
+    d = rng.random((3, h, w, 1)).astype(np.float32)
+    v = GuidedDepthNet().init(jax.random.key(0), rgb[:1], d[:1], rgb[:1], d[:1])
+    engine = DataParallelEngine(v, height=h, width=w, mesh=make_mesh(n_data=8))
+    out0, out1 = engine(rgb, d, rgb, d)  # 3 rigs on an 8-wide mesh
+    assert out0.shape == (3, h, w, 1) and out1.shape == (3, h, w, 1)
+
+
+def test_spatial_partition_kitti_scale_matches_single_device():
+    """H-sharded NConvUNet forward at KITTI test geometry (352x1216) on the
+    8-device mesh == unsharded output (XLA SPMD inserts the conv halo
+    exchanges)."""
+    from nconv_tpu.models import NConvUNet
+    from nconv_tpu.parallel import make_mesh, spatial_sharding
+
+    rng = np.random.default_rng(2)
+    h, w = 352, 1216
+    truth = np.fromfunction(
+        lambda b, i, j, c: 20 + 10 * np.sin(i / 40) + 10 * np.cos(j / 60),
+        (1, h, w, 1),
+    ).astype(np.float32)
+    d = jnp.asarray(truth * (rng.random((1, h, w, 1)) < 0.06))
+
+    model = NConvUNet()
+    v = model.init(jax.random.key(0), d)
+    ref, ref_c = jax.jit(model.apply)(v, d)
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    d_sharded = jax.device_put(d, spatial_sharding(mesh))
+    out, conf = jax.jit(model.apply)(v, d_sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(ref_c), atol=1e-5)
