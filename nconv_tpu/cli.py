@@ -48,6 +48,11 @@ def _add_train_common(p: argparse.ArgumentParser):
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--limit", type=int, default=None, help="cap dataset size (smoke runs)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--backend", choices=["xla", "pallas"], default="xla",
+        help="conv backend for the model; 'pallas' runs the fused TPU "
+             "kernels in the forward (gradients via custom_vjp)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -274,10 +279,14 @@ def cmd_train_step1(args) -> int:
         save_best,
     )
 
+    from .models import NConvUNet
+
     cfg = _train_cfg(args)
     train_loader, val_loader = make_loaders(args)
     grid = GridSearchConfig(args.lr, args.weight_decay)
-    task_factory = lambda: UnguidedTask(two_stream=args.two_stream)
+    task_factory = lambda: UnguidedTask(
+        NConvUNet(backend=args.backend), two_stream=args.two_stream
+    )
     if len(args.lr) * len(args.weight_decay) > 1:
         best, lr, wd = grid_search(
             task_factory, cfg, grid, train_loader, val_loader,
@@ -309,9 +318,15 @@ def cmd_train_step2(args) -> int:
         step1_vars = load_best(args.step1_checkpoint)
     cfg = _train_cfg(args, batch_reduce=args.batch_reduce)
     train_loader, val_loader = make_loaders(args)
+    from .models import GuidedDepthNet
+
     ckpts = CheckpointManager(f"{args.checkpoint_dir}/{args.name}_epochs", keep=3)
     trainer = Trainer(
-        GuidedTask(step1_variables=step1_vars), cfg, checkpoints=ckpts
+        GuidedTask(
+            GuidedDepthNet(backend=args.backend), step1_variables=step1_vars
+        ),
+        cfg,
+        checkpoints=ckpts,
     )
     best = trainer.fit(train_loader, val_loader)
     path = save_best(args.checkpoint_dir, args.name, best.best_variables)

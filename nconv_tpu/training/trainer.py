@@ -259,11 +259,15 @@ class Trainer:
 
         t_start = time.time()
         for epoch in range(start_epoch, cfg.epochs):
-            # ---- train sweep
+            # ---- train sweep (batches staged onto the device ahead of
+            # consumption: H2D overlaps the current step's compute)
             losses = []
             t_step = time.time()
-            for i, batch in enumerate(train_loader()):
-                batch = self._device_batch(batch)
+            from ..data.pipeline import prefetch_to_device
+
+            for i, batch in enumerate(
+                prefetch_to_device(train_loader(), self._device_batch)
+            ):
                 (
                     state["params"],
                     state["batch_stats"],
