@@ -43,27 +43,40 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(x_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs, sem,
-            *, kh: int, kw: int, cin2: int, cout: int, th: int, w_out: int,
-            eps: float):
+def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
+            sem_d, sem_c, *, kh: int, kw: int, cin_pad: int, cout: int,
+            th: int, w_out: int, eps: float):
     """Grid step = one (batch, H-tile) block.
 
-    x_hbm:   (B, Hp, cin2, wp) padded input in HBM — each step DMAs its
-             (th + kh - 1)-row halo slice into the VMEM scratch ``xs``
-             (BlockSpec index maps cannot express overlapping tiles)
-    w2_ref:  (kw, 2*cout, kh*cin2)      block-diagonal tap matrices
+    d_hbm/c_hbm: (B, Hp, cin_pad, wp) padded data / confidence in HBM —
+             each step DMAs its (th + kh - 1)-row halo slice into the two
+             halves of the VMEM scratch ``xs`` (rows, 2, cin_pad, wp), then
+             forms data*conf in place with one VMEM pass. Keeping the
+             operands separate in HBM kills the XLA-side dc-multiply pass
+             AND the [dc ; c] concat copy the fused input needed.
+    w2_ref:  (kw, 2*cout, kh*2*cin_pad)  block-diagonal tap matrices
     bias_ref/wsum_ref: (cout, 1)
     out_ref/cout_ref:  (1, th, cout, w_out)
     """
     bi = pl.program_id(0)
     hi = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(hi * th, th + kh - 1)], xs, sem
+    dma_d = pltpu.make_async_copy(
+        d_hbm.at[bi, pl.ds(hi * th, th + kh - 1)], xs.at[:, 0], sem_d
     )
-    dma.start()
-    dma.wait()
+    dma_c = pltpu.make_async_copy(
+        c_hbm.at[bi, pl.ds(hi * th, th + kh - 1)], xs.at[:, 1], sem_c
+    )
+    dma_d.start()
+    dma_c.start()
+    dma_d.wait()
+    dma_c.wait()
+    # data half := data * conf, once per tile (VMEM-only traffic); the
+    # (rows, 2, cin_pad, wp) layout reshapes to the (dy, half, ci) row order
+    # the tap matrices expect.
+    xs[:, 0] = xs[:, 0] * xs[:, 1]
 
     f32 = jnp.float32
+    cin2 = 2 * cin_pad
     k_rows = kh * cin2
     wp = xs.shape[-1]
     bias_col = bias_ref[:, :]
@@ -199,13 +212,6 @@ def _nconv_bhcw_impl(
     if bias is None or bias.ndim == 0:  # None or scalar sentinel
         bias = jnp.zeros((cout,), data.dtype)
 
-    dc = data * conf
-    c = conf
-    if cin_pad != cin:
-        zpad = ((0, 0), (0, 0), (0, cin_pad - cin), (0, 0))
-        dc = jnp.pad(dc, zpad)
-        c = jnp.pad(c, zpad)
-    x = jnp.concatenate([dc, c], axis=2)  # (B, H, 2*cin_pad, W)
     cin2 = 2 * cin_pad
 
     if tile_h is None:
@@ -221,14 +227,20 @@ def _nconv_bhcw_impl(
     th = min(tile_h, h_out)
     n_tiles = -(-h_out // th)
     extra_h = n_tiles * th + (kh - 1) - (h + 2 * p)
-    # lane (W) dim padded to a 128 multiple: DMA slices must be tile-aligned
+    # lane (W) dim padded to a 128 multiple: DMA slices must be tile-aligned.
+    # data and conf stay separate in HBM — the kernel DMAs both into one
+    # scratch and forms data*conf there, so neither the dc elementwise pass
+    # nor the [dc ; c] concat ever touches HBM.
     wp = _round_up(w + 2 * p, 128)
-    x_p = jnp.pad(
-        x, ((0, 0), (p, p + max(extra_h, 0)), (0, 0), (p, wp - w - p))
+    zpad = (
+        (0, 0), (p, p + max(extra_h, 0)), (0, cin_pad - cin), (p, wp - w - p)
     )
+    d_p = jnp.pad(data, zpad)
+    c_p = jnp.pad(conf, zpad)
 
     kfun = functools.partial(
-        _kernel, kh=kh, kw=kw, cin2=cin2, cout=cout, th=th, w_out=w_out, eps=eps,
+        _kernel, kh=kh, kw=kw, cin_pad=cin_pad, cout=cout, th=th,
+        w_out=w_out, eps=eps,
     )
     block_out = pl.BlockSpec(
         (1, th, cout, w_out), lambda bi, hi: (bi, hi, 0, 0),
@@ -238,7 +250,8 @@ def _nconv_bhcw_impl(
         kfun,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded data, HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded conf, HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -249,10 +262,11 @@ def _nconv_bhcw_impl(
             jax.ShapeDtypeStruct((b, n_tiles * th, cout, w_out), data.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((th + kh - 1, cin2, wp), data.dtype),
+            pltpu.VMEM((th + kh - 1, 2, cin_pad, wp), data.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-    )(x_p, w2, bias.reshape(-1, 1), wsum.reshape(-1, 1))
+    )(d_p, c_p, w2, bias.reshape(-1, 1), wsum.reshape(-1, 1))
 
     if n_tiles * th != h_out:
         out = out[:, :h_out]
