@@ -330,3 +330,89 @@ def test_nyu_test_dataset(tmp_path):
     assert s["rgb"].shape == (480, 640, 3)
     assert s["depth"].shape == (480, 640, 1)
     assert "gt" not in s
+
+
+@pytest.fixture
+def kitti_eval_root(tmp_path):
+    """Synthetic val_selection_cropped + test_depth_completion_anonymous
+    trees (the KITTI benchmark-submission layouts, kittiloader.py:97-211)."""
+    from PIL import Image
+
+    root = tmp_path / "kitti_eval"
+    rng = np.random.default_rng(5)
+    k_txt = "721.5 0.0 609.6 0.0 721.5 172.9 0.0 0.0 1.0"
+
+    sel = root / "val_selection_cropped"
+    for sub in ("groundtruth_depth", "velodyne_raw", "image", "intrinsics"):
+        (sel / sub).mkdir(parents=True)
+    for i in range(2):
+        name = f"2011_09_26_drive_0002_sync_image_{i:010d}_image_02"
+        depth = (rng.random((352, 1216)) * 60).astype(np.float32)
+        io.save_depth_png16(str(sel / "groundtruth_depth" / f"{name}.png"), depth)
+        io.save_depth_png16(
+            str(sel / "velodyne_raw" / f"{name}.png"),
+            depth * (rng.random((352, 1216)) < 0.07),
+        )
+        img = (rng.random((352, 1216, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(sel / "image" / f"{name}.png")
+        (sel / "intrinsics" / f"{name}.txt").write_text(k_txt)
+
+    test = root / "test_depth_completion_anonymous"
+    for sub in ("velodyne_raw", "image", "intrinsics"):
+        (test / sub).mkdir(parents=True)
+    for i in range(2):
+        name = f"{i:010d}"
+        depth = (rng.random((352, 1216)) * 60).astype(np.float32)
+        io.save_depth_png16(
+            str(test / "velodyne_raw" / f"{name}.png"),
+            depth * (rng.random((352, 1216)) < 0.07),
+        )
+        img = (rng.random((352, 1216, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(test / "image" / f"{name}.png")
+        (test / "intrinsics" / f"{name}.txt").write_text(k_txt)
+    return str(root)
+
+
+def test_kitti_selval_dataset(kitti_eval_root):
+    from nconv_tpu.data import KITTISelValDataset
+
+    ds = KITTISelValDataset(kitti_eval_root)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["rgb"].shape == (256, 1216, 3)
+    assert s["depth"].shape == (256, 1216, 1)
+    assert s["gt"].shape == (256, 1216, 1)
+    # bottom-crop 352->256 shifts cy by 96
+    assert abs(s["k"][1, 2] - (172.9 - 96)) < 1e-4
+
+
+def test_kitti_test_dataset_and_eval_cli(kitti_eval_root, tmp_path, capsys):
+    from nconv_tpu.data import KITTITestDataset
+
+    ds = KITTITestDataset(kitti_eval_root)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["rgb"].shape == (352, 1216, 3)
+    assert s["depth"].shape == (352, 1216, 1)
+    assert "gt" not in s
+
+    # kitti_selval is reachable from the eval CLI (VERDICT round-1 item)
+    import jax
+    import json as _json
+
+    from nconv_tpu.cli import main
+    from nconv_tpu.models import NConvUNet
+    from nconv_tpu.training import save_best
+
+    v = NConvUNet().init(
+        jax.random.key(0), np.zeros((1, 256, 1216, 1), np.float32)
+    )
+    ck = save_best(str(tmp_path), "s1", v)
+    rc = main([
+        "eval", "--checkpoint", ck, "--model", "unguided",
+        "--dataset", "kitti_selval", "--root", kitti_eval_root,
+        "--batch-size", "1", "--max-batches", "1",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "rmse" in out and np.isfinite(out["rmse"])
