@@ -42,6 +42,13 @@ class NConvUNet(nn.Module):
 
     @nn.compact
     def __call__(self, sparse):
+        h_, w_ = sparse.shape[1:3]
+        if h_ % 8 or w_ % 8:
+            raise ValueError(
+                f"NConvUNet needs H and W divisible by 8 for its 3-level "
+                f"pyramid; got {h_}x{w_} — pad or crop the input "
+                f"(reference geometry: NYU 480x640, KITTI 352x1216)"
+            )
         c = self.num_channels
         # With the pallas backend the whole body runs in the kernels' native
         # (B, H, C, W) layout: the 1-channel input/output boundary makes the

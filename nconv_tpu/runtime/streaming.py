@@ -142,7 +142,10 @@ class StreamingEngine:
 
     def _encode_depth(self, a: np.ndarray) -> np.ndarray:
         if self.depth_wire_dtype == np.uint16:
-            return np.clip(a * self.DEPTH_SCALE, 0, 65535).astype(np.uint16)
+            from ..data import native
+
+            # fused scale+clip+cast in C (GIL-released) when available
+            return native.encode_depth_wire(a)
         return a.astype(self.depth_wire_dtype)
 
     def _stage(self, arr: np.ndarray, channels: int) -> jax.Array:

@@ -234,3 +234,11 @@ def test_full_bhcw_pallas_graph_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out0), np.asarray(ref0), atol=5e-5, rtol=1e-4
     )
+
+
+def test_unguided_rejects_bad_geometry():
+    import pytest as _pytest
+
+    m = NConvUNet()
+    with _pytest.raises(ValueError, match="divisible by 8"):
+        m.init(jax.random.key(0), jnp.zeros((1, 50, 64, 1)))
