@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--pos-fn", choices=["softplus", "identity", "exp", "sigmoid", "softmax"],
         default="softplus",
     )
+    pp.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    pp.add_argument(
+        "--mixed", action="store_true",
+        help="profile the headline mixed-precision schedule (bf16 features, "
+             "f32 depth path) with BN folded",
+    )
 
     pc = sub.add_parser("convert", help="convert a reference .pth.tar checkpoint")
     pc.add_argument("--pth", required=True)
@@ -458,15 +464,30 @@ def cmd_profile(args) -> int:
     from .training import load_best
     from .utils import profile_fn
 
+    import jax.numpy as jnp
+
     h, w = args.height, args.width
-    model = GuidedDepthNet(step1_pos_fn=args.pos_fn)
     rng = np.random.default_rng(0)
     rgb = np.asarray(rng.random((1, h, w, 3)), np.float32)
     d = np.asarray(rng.random((1, h, w, 1)), np.float32)
+    if args.mixed:
+        model = GuidedDepthNet(
+            backend=args.backend, dtype=jnp.bfloat16, step1_dtype=jnp.float32,
+            step1_pos_fn=args.pos_fn,
+        )
+    else:
+        model = GuidedDepthNet(backend=args.backend, step1_pos_fn=args.pos_fn)
     if args.checkpoint:
         variables = load_best(args.checkpoint)
     else:
-        variables = model.init(jax.random.key(0), rgb, d, rgb, d)
+        variables = GuidedDepthNet(step1_pos_fn=args.pos_fn).init(
+            jax.random.key(0), rgb, d, rgb, d
+        )
+    if args.mixed and variables.get("batch_stats"):
+        from .models import fold_batchnorm_variables
+
+        model = model.clone(fold_bn=True)
+        variables = fold_batchnorm_variables(variables)
     fn = jax.jit(
         lambda v, r, dd: model.apply(v, r, dd, r, dd, method=GuidedDepthNet.export)
     )
