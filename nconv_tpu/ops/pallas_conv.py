@@ -59,17 +59,35 @@ def auto_row_group(kh: int, cin_p: int, cout: int, max_g: int = 8) -> int:
 
 def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
             cin_p: int, cout: int, cout_store: int, th: int, w_out: int,
-            relu: bool, use_bias: bool, g: int, residual: bool):
+            relu: bool, use_bias: bool, g: int, residual: bool,
+            n_tiles: int, n_total: int):
     # Halo load: BlockSpec index maps cannot express overlapping H-tiles, so
     # the padded input stays in HBM and each grid step DMAs its
     # (th + kh - 1)-row slice (halo included) into VMEM scratch.
-    bi = pl.program_id(0)
-    hi = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(hi * th, th + kh - 1)], xs, sem
-    )
-    dma.start()
-    dma.wait()
+    #
+    # Double-buffered across grid steps (scratch and semaphores persist on
+    # the sequential TPU grid): step i starts the DMA for step i+1 into the
+    # other slot before waiting on its own, so the input transfer of the
+    # next tile overlaps this tile's matmuls.
+    idx = pl.program_id(0)
+
+    def dma_for(step, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[step // n_tiles, pl.ds((step % n_tiles) * th, th + kh - 1)],
+            xs.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(idx == 0)
+    def _warmup():
+        dma_for(0, 0).start()
+
+    @pl.when(idx + 1 < n_total)
+    def _prefetch():
+        dma_for(idx + 1, (idx + 1) % 2).start()
+
+    dma_for(idx, idx % 2).wait()
+    slot = idx % 2
 
     f32 = jnp.float32
     k_rows = (kh + g - 1) * cin_p
@@ -80,7 +98,7 @@ def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
     # computes all of them, amortizing loop and matmul-issue overhead.
     def group(i, _):
         h0 = i * g
-        a = xs[pl.ds(h0, kh + g - 1)]
+        a = xs[slot, pl.ds(h0, kh + g - 1)]
         if jnp.issubdtype(a.dtype, jnp.integer):
             # fused wire decode: integer camera input converts to float in
             # VMEM, so the u8 frame never round-trips HBM as floats.
@@ -274,29 +292,31 @@ def _conv2d_bhcw_impl(
         bias_arr = (bias if use_bias else jnp.zeros((cout,), out_dtype))
         bias_arr = jnp.tile(bias_arr, g).reshape(-1, 1)  # (g*cout, 1)
 
+    n_total = b * n_tiles
     kfun = functools.partial(
         _kernel, kh=kh, kw=kw, cin_p=cin_p, cout=cout, cout_store=cout_store,
         th=th, w_out=w_out, relu=relu, use_bias=use_bias, g=g,
-        residual=residual,
+        residual=residual, n_tiles=n_tiles, n_total=n_total,
     )
     out = pl.pallas_call(
         kfun,
-        grid=(b, n_tiles),
+        grid=(n_total,),  # flattened (batch, H-tile) for cross-step prefetch
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, cout_store, w_out), lambda bi, hi: (bi, hi, 0, 0),
+            (1, th, cout_store, w_out),
+            lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (b, n_tiles * th, cout_store, w_out), out_dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + kh - 1, cin_p, wp), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + kh - 1, cin_p, wp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(x_p, w2, bias_arr)
 

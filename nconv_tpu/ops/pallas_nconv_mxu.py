@@ -45,35 +45,49 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
             sem_d, sem_c, *, kh: int, kw: int, cin_pad: int, cout: int,
-            th: int, w_out: int, eps: float):
-    """Grid step = one (batch, H-tile) block.
+            th: int, w_out: int, eps: float, n_tiles: int, n_total: int):
+    """Grid step = one (batch, H-tile) block on a flattened grid.
 
     d_hbm/c_hbm: (B, Hp, cin_pad, wp) padded data / confidence in HBM —
              each step DMAs its (th + kh - 1)-row halo slice into the two
-             halves of the VMEM scratch ``xs`` (rows, 2, cin_pad, wp), then
-             forms data*conf in place with one VMEM pass. Keeping the
+             halves of a VMEM scratch slot (slot, rows, 2, cin_pad, wp),
+             then forms data*conf in place with one VMEM pass. Keeping the
              operands separate in HBM kills the XLA-side dc-multiply pass
              AND the [dc ; c] concat copy the fused input needed.
+             DMAs are double-buffered across grid steps: step i prefetches
+             step i+1's slices into the other slot before waiting.
     w2_ref:  (kw, 2*cout, kh*2*cin_pad)  block-diagonal tap matrices
     bias_ref/wsum_ref: (cout, 1)
     out_ref/cout_ref:  (1, th, cout, w_out)
     """
-    bi = pl.program_id(0)
-    hi = pl.program_id(1)
-    dma_d = pltpu.make_async_copy(
-        d_hbm.at[bi, pl.ds(hi * th, th + kh - 1)], xs.at[:, 0], sem_d
-    )
-    dma_c = pltpu.make_async_copy(
-        c_hbm.at[bi, pl.ds(hi * th, th + kh - 1)], xs.at[:, 1], sem_c
-    )
-    dma_d.start()
-    dma_c.start()
-    dma_d.wait()
-    dma_c.wait()
+    idx = pl.program_id(0)
+
+    def dmas_for(step, slot):
+        src = lambda ref: ref.at[
+            step // n_tiles, pl.ds((step % n_tiles) * th, th + kh - 1)
+        ]
+        return (
+            pltpu.make_async_copy(src(d_hbm), xs.at[slot, :, 0], sem_d.at[slot]),
+            pltpu.make_async_copy(src(c_hbm), xs.at[slot, :, 1], sem_c.at[slot]),
+        )
+
+    @pl.when(idx == 0)
+    def _warmup():
+        for dma in dmas_for(0, 0):
+            dma.start()
+
+    @pl.when(idx + 1 < n_total)
+    def _prefetch():
+        for dma in dmas_for(idx + 1, (idx + 1) % 2):
+            dma.start()
+
+    slot = idx % 2
+    for dma in dmas_for(idx, slot):
+        dma.wait()
     # data half := data * conf, once per tile (VMEM-only traffic); the
     # (rows, 2, cin_pad, wp) layout reshapes to the (dy, half, ci) row order
     # the tap matrices expect.
-    xs[:, 0] = xs[:, 0] * xs[:, 1]
+    xs[slot, :, 0] = xs[slot, :, 0] * xs[slot, :, 1]
 
     f32 = jnp.float32
     cin2 = 2 * cin_pad
@@ -83,7 +97,7 @@ def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
     wsum_col = wsum_ref[:, :]
 
     def row(h, _):
-        a = xs[pl.ds(h, kh)].reshape(k_rows, wp)
+        a = xs[slot, pl.ds(h, kh)].reshape(k_rows, wp)
         acc = jnp.zeros((2 * cout, w_out), f32)
         for dx in range(kw):
             acc += lax.dot_general(
@@ -238,17 +252,18 @@ def _nconv_bhcw_impl(
     d_p = jnp.pad(data, zpad)
     c_p = jnp.pad(conf, zpad)
 
+    n_total = b * n_tiles
     kfun = functools.partial(
         _kernel, kh=kh, kw=kw, cin_pad=cin_pad, cout=cout, th=th,
-        w_out=w_out, eps=eps,
+        w_out=w_out, eps=eps, n_tiles=n_tiles, n_total=n_total,
     )
     block_out = pl.BlockSpec(
-        (1, th, cout, w_out), lambda bi, hi: (bi, hi, 0, 0),
+        (1, th, cout, w_out), lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out, cout_arr = pl.pallas_call(
         kfun,
-        grid=(b, n_tiles),
+        grid=(n_total,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # padded data, HBM
             pl.BlockSpec(memory_space=pltpu.ANY),  # padded conf, HBM
@@ -262,9 +277,9 @@ def _nconv_bhcw_impl(
             jax.ShapeDtypeStruct((b, n_tiles * th, cout, w_out), data.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((th + kh - 1, 2, cin_pad, wp), data.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + kh - 1, 2, cin_pad, wp), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(d_p, c_p, w2, bias.reshape(-1, 1), wsum.reshape(-1, 1))
 
