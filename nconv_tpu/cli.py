@@ -49,9 +49,10 @@ def _add_train_common(p: argparse.ArgumentParser):
     p.add_argument("--limit", type=int, default=None, help="cap dataset size (smoke runs)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
-        "--backend", choices=["xla", "pallas"], default="xla",
-        help="conv backend for the model; 'pallas' runs the fused TPU "
-             "kernels in the forward (gradients via custom_vjp)",
+        "--backend", choices=["auto", "xla", "pallas"], default="auto",
+        help="conv backend; 'pallas' runs the fused TPU kernels in the "
+             "forward (gradients via custom_vjp; faster on both training "
+             "paths on v5e). 'auto' = pallas on TPU, xla elsewhere",
     )
 
 
@@ -275,6 +276,14 @@ def _train_cfg(args, batch_reduce="mean"):
 # commands
 # ---------------------------------------------------------------------------
 
+def _resolve_backend(name: str) -> str:
+    if name != "auto":
+        return name
+    import jax
+
+    return "xla" if jax.default_backend() in ("cpu", "gpu", "cuda") else "pallas"
+
+
 def cmd_train_step1(args) -> int:
     from .training import (
         CheckpointManager,
@@ -290,8 +299,9 @@ def cmd_train_step1(args) -> int:
     cfg = _train_cfg(args)
     train_loader, val_loader = make_loaders(args)
     grid = GridSearchConfig(args.lr, args.weight_decay)
+    backend = _resolve_backend(args.backend)
     task_factory = lambda: UnguidedTask(
-        NConvUNet(backend=args.backend), two_stream=args.two_stream
+        NConvUNet(backend=backend), two_stream=args.two_stream
     )
     if len(args.lr) * len(args.weight_decay) > 1:
         best, lr, wd = grid_search(
@@ -329,7 +339,8 @@ def cmd_train_step2(args) -> int:
     ckpts = CheckpointManager(f"{args.checkpoint_dir}/{args.name}_epochs", keep=3)
     trainer = Trainer(
         GuidedTask(
-            GuidedDepthNet(backend=args.backend), step1_variables=step1_vars
+            GuidedDepthNet(backend=_resolve_backend(args.backend)),
+            step1_variables=step1_vars,
         ),
         cfg,
         checkpoints=ckpts,
@@ -525,13 +536,16 @@ def cmd_eval(args) -> int:
 
     from .models import GuidedDepthNet, NConvUNet
 
+    backend = _resolve_backend(args.backend)
     variables = load_best(args.checkpoint)
     if args.model == "guided":
         predict = make_guided_predict(
-            variables, GuidedDepthNet(step1_pos_fn=args.pos_fn)
+            variables, GuidedDepthNet(step1_pos_fn=args.pos_fn, backend=backend)
         )
     else:
-        predict = make_unguided_predict(variables, NConvUNet(pos_fn=args.pos_fn))
+        predict = make_unguided_predict(
+            variables, NConvUNet(pos_fn=args.pos_fn, backend=backend)
+        )
     ds = make_dataset(args, args.split)
     loader = Loader(ds, args.batch_size, num_workers=args.num_workers)
     result = evaluate(predict, loader, max_batches=args.max_batches)

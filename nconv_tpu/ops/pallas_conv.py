@@ -170,18 +170,46 @@ def _conv2d_bhcw_reference(x, kernel, bias, padding, relu, residual_channels):
 
 def _conv2d_bhcw_fwd(x, kernel, bias, padding, relu, tile_h, residual_channels):
     out = _conv2d_bhcw_core(x, kernel, bias, padding, relu, tile_h, residual_channels)
-    return out, (x, kernel, bias)
+    return out, (x, kernel, bias, out)
 
 
 def _conv2d_bhcw_bwd(padding, relu, tile_h, residual_channels, res, g):
-    x, kernel, bias = res
-    _, vjp = jax.vjp(
-        lambda xx, kk, bb: _conv2d_bhcw_reference(
-            xx, kk, bb, padding, relu, residual_channels
-        ),
-        x, kernel, bias,
+    """Hand-rolled backward: the conv is linear in each operand, so the
+    input/kernel cotangents come from ``jax.linear_transpose`` without
+    re-running the forward (the ReLU mask is read from the saved Pallas
+    output). One transposed conv + one filter-grad conv total."""
+    from .convops import conv2d as conv2d_xla
+
+    x, kernel, bias, out = res
+    if residual_channels is not None:
+        # the fused residual form is inference-only; fall back to the
+        # reference-vjp path if it is ever differentiated
+        _, vjp = jax.vjp(
+            lambda xx, kk, bb: _conv2d_bhcw_reference(
+                xx, kk, bb, padding, relu, residual_channels
+            ),
+            x, kernel, bias,
+        )
+        return vjp(g)
+
+    x_nhwc = jnp.transpose(x, (0, 1, 3, 2)).astype(kernel.dtype)
+    g_nhwc = jnp.transpose(g, (0, 1, 3, 2))
+    if relu:
+        g_nhwc = g_nhwc * (jnp.transpose(out, (0, 1, 3, 2)) > 0)
+
+    d_x = jax.linear_transpose(
+        lambda t: conv2d_xla(t, kernel, padding=padding), x_nhwc
+    )(g_nhwc)[0]
+    d_k = jax.linear_transpose(
+        lambda kk: conv2d_xla(x_nhwc, kk, padding=padding), kernel
+    )(g_nhwc)[0]
+    has_bias = bias is not None and bias.ndim > 0
+    d_b = (
+        jnp.sum(g_nhwc, axis=(0, 1, 2)).astype(bias.dtype)
+        if has_bias
+        else jnp.zeros_like(bias)
     )
-    return vjp(g)
+    return jnp.transpose(d_x, (0, 1, 3, 2)).astype(x.dtype), d_k, d_b
 
 
 _conv2d_bhcw_core.defvjp(_conv2d_bhcw_fwd, _conv2d_bhcw_bwd)

@@ -157,18 +157,68 @@ def _nconv_bhcw_reference(data, conf, kernel, bias, padding, pos_fn, eps):
 
 def _nconv_bhcw_fwd(data, conf, kernel, bias, padding, pos_fn, eps, tile_h):
     out = _nconv_bhcw_core(data, conf, kernel, bias, padding, pos_fn, eps, tile_h)
-    return out, (data, conf, kernel, bias)
+    return out, (data, conf, kernel, bias, out)
 
 
 def _nconv_bhcw_bwd(padding, pos_fn, eps, tile_h, res, g):
-    data, conf, kernel, bias = res
-    _, vjp = jax.vjp(
-        lambda d, c, k, b: _nconv_bhcw_reference(
-            d, c, k, b, padding, pos_fn, eps
-        ),
-        data, conf, kernel, bias,
+    """Hand-rolled backward that never re-runs the forward convolution.
+
+    The intermediates are reconstructed algebraically from the saved Pallas
+    outputs — ``denom = conf_out * sum(w)`` and
+    ``nomin = (out - bias) * (denom + eps)`` — and because both inner
+    convolutions are linear, the data/conf cotangents come from ONE
+    batch-stacked transposed conv and the kernel cotangent from ONE
+    batch-stacked filter-grad conv (``jax.linear_transpose``), vs the
+    forward + two transposed convs a reference-vjp backward costs.
+    """
+    from .convops import conv2d as conv2d_xla
+
+    data, conf, kernel, bias, (out, cout_out) = res
+    g_out, g_cout = g
+    p = padding
+    t = lambda a: jnp.transpose(a, (0, 1, 3, 2))  # BHCW <-> NHWC
+
+    w, pos_vjp = jax.vjp(POS_FNS[pos_fn], kernel)
+    ksum = jnp.sum(w, axis=(0, 1, 2))  # (cout,)
+    has_bias = bias is not None and bias.ndim > 0
+    b_col = bias if has_bias else jnp.zeros(w.shape[-1], w.dtype)
+
+    d_n, c_n = t(data), t(conf)
+    out_n, cout_n = t(out), t(cout_out)
+    go_n, gc_n = t(g_out), t(g_cout)
+
+    denom = cout_n * ksum
+    nomin = (out_n - b_col) * (denom + eps)
+    d_nomin = go_n / (denom + eps)
+    d_denom = -go_n * nomin / (denom + eps) ** 2 + gc_n / ksum
+
+    dc = d_n * c_n
+    n = d_n.shape[0]
+    # one transposed conv for both branches (batch-stacked cotangents)
+    d_stacked = jax.linear_transpose(
+        lambda s: conv2d_xla(s, w, padding=p),
+        jnp.concatenate([dc, c_n], axis=0),
+    )(jnp.concatenate([d_nomin, d_denom], axis=0))[0]
+    d_dc, d_c_denom = d_stacked[:n], d_stacked[n:]
+    # one filter-grad conv: contraction over the stacked batch sums the
+    # dc·d_nomin and c·d_denom contributions
+    d_w = jax.linear_transpose(
+        lambda ww: conv2d_xla(jnp.concatenate([dc, c_n], axis=0), ww, padding=p),
+        w,
+    )(jnp.concatenate([d_nomin, d_denom], axis=0))[0]
+    # cout = denom / ksum also differentiates through ksum = sum(w)
+    d_ksum = -jnp.sum(gc_n * cout_n, axis=(0, 1, 2)) / ksum
+    d_w = d_w + d_ksum.reshape(1, 1, 1, -1)
+
+    d_data = t(d_dc * c_n).astype(data.dtype)
+    d_conf = t(d_dc * d_n + d_c_denom).astype(conf.dtype)
+    d_kernel = pos_vjp(d_w.astype(w.dtype))[0]
+    d_bias = (
+        jnp.sum(go_n, axis=(0, 1, 2)).astype(bias.dtype)
+        if has_bias
+        else jnp.zeros_like(bias)
     )
-    return vjp(g)
+    return d_data, d_conf, d_kernel, d_bias
 
 
 _nconv_bhcw_core.defvjp(_nconv_bhcw_fwd, _nconv_bhcw_bwd)
