@@ -328,10 +328,12 @@ void depthio_apply_mask(float* depth, const float* mask, long n) {
   for (long i = 0; i < n; ++i) depth[i] *= mask[i];
 }
 
-// fused: float depth (meters) -> uint16 wire (d * 256, clipped)
-void depthio_encode_depth_wire(const float* depth, uint16_t* out, long n) {
+// fused: float depth (meters) -> uint16 wire (d * scale, clipped); scale is
+// the engine's DEPTH_SCALE knob (256 = KITTI PNG convention)
+void depthio_encode_depth_wire(const float* depth, uint16_t* out, long n,
+                               float scale) {
   for (long i = 0; i < n; ++i) {
-    float v = depth[i] * 256.0f;
+    float v = depth[i] * scale;
     if (v < 0.0f) v = 0.0f;
     if (v > 65535.0f) v = 65535.0f;
     out[i] = (uint16_t)v;

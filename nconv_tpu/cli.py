@@ -89,7 +89,7 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--width", type=int, default=1216)
     pb.add_argument("--frames", type=int, default=200)
     pb.add_argument("--checkpoint", default=None)
-    pb.add_argument("--backend", choices=["xla", "pallas"], default="pallas")
+    pb.add_argument("--backend", choices=["auto", "xla", "pallas"], default="pallas")
     pb.add_argument(
         "--pos-fn", choices=["softplus", "identity", "exp", "sigmoid", "softmax"],
         default="softplus",
@@ -149,8 +149,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     pi = sub.add_parser("infer", help="densify a directory of frames")
     pi.add_argument("--checkpoint", required=True)
-    pi.add_argument("--rgb-glob", required=True)
-    pi.add_argument("--depth-glob", required=True)
+    pi.add_argument("--rgb-glob", default=None)
+    pi.add_argument("--depth-glob", default=None)
+    pi.add_argument(
+        "--dataset", choices=["kitti_test", "kitti_selval", "nyu", "void"],
+        default=None,
+        help="read frames from a dataset loader instead of file globs "
+             "(kitti_test is the gt-less 352x1216 submission split, "
+             "reference dataset/kittiloader.py:160-211)",
+    )
+    pi.add_argument("--root", default=None, help="dataset root for --dataset")
+    pi.add_argument("--split", default="val", help="split for nyu/void --dataset")
+    pi.add_argument("--limit", type=int, default=None)
     pi.add_argument("--out-dir", required=True)
     pi.add_argument("--height", type=int, default=480)
     pi.add_argument("--width", type=int, default=640)
@@ -220,9 +230,12 @@ def make_dataset(args, mode: str):
             seed=0 if mode == "train" else 1,
         )
     elif args.dataset == "nyu":
-        ds = NYUDataset(args.root, mode, args.apply_mask, args.add_noise)
+        ds = NYUDataset(
+            args.root, mode,
+            getattr(args, "apply_mask", True), getattr(args, "add_noise", False),
+        )
     elif args.dataset == "void":
-        ds = VOIDDataset(args.root, mode, use_mask=args.apply_mask)
+        ds = VOIDDataset(args.root, mode, use_mask=getattr(args, "apply_mask", True))
     elif args.dataset == "kitti_selval":
         ds = KITTISelValDataset(args.root)
     elif args.dataset == "kitti_test":
@@ -237,6 +250,12 @@ def make_dataset(args, mode: str):
 def make_loaders(args):
     from .data import Loader
 
+    if args.dataset in ("kitti_selval", "kitti_test"):
+        raise SystemExit(
+            f"--dataset {args.dataset} is evaluation-only (single split"
+            + (", no ground truth" if args.dataset == "kitti_test" else "")
+            + "); train on 'kitti' and evaluate with `nconv-tpu eval`."
+        )
     train = Loader(
         make_dataset(args, "train"),
         args.batch_size,
@@ -277,11 +296,17 @@ def _train_cfg(args, batch_reduce="mean"):
 # ---------------------------------------------------------------------------
 
 def _resolve_backend(name: str) -> str:
-    if name != "auto":
-        return name
+    """'auto' -> pallas on TPU, xla elsewhere. An explicit 'pallas' also
+    falls back to xla off-TPU: the fused kernels are Mosaic TPU programs
+    (the platform may be named 'tpu' or a tunneled variant like 'axon')."""
     import jax
 
-    return "xla" if jax.default_backend() in ("cpu", "gpu", "cuda") else "pallas"
+    on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda")
+    if name == "auto":
+        return "pallas" if on_tpu else "xla"
+    if name == "pallas" and not on_tpu:
+        return "xla"
+    return name
 
 
 def cmd_train_step1(args) -> int:
@@ -374,9 +399,7 @@ def cmd_bench(args) -> int:
     from .training import load_best
 
     h, w = args.height, args.width
-    # pallas kernels need a TPU (platform may be named 'tpu' or a tunneled
-    # variant like 'axon'); fall back to the XLA path on cpu/gpu
-    backend = args.backend if jax.default_backend() not in ("cpu", "gpu", "cuda") else "xla"
+    backend = _resolve_backend(args.backend)
     if args.train:
         return _bench_train(args, backend)
     model = GuidedDepthNet(backend=backend, step1_pos_fn=args.pos_fn)
@@ -536,6 +559,12 @@ def cmd_eval(args) -> int:
 
     from .models import GuidedDepthNet, NConvUNet
 
+    if args.dataset == "kitti_test":
+        raise SystemExit(
+            "kitti_test (test_depth_completion_anonymous) carries no ground "
+            "truth, so there is nothing to score; produce dense maps with "
+            "`nconv-tpu infer` instead."
+        )
     backend = _resolve_backend(args.backend)
     variables = load_best(args.checkpoint)
     if args.model == "guided":
@@ -567,29 +596,45 @@ def cmd_infer(args) -> int:
     from .models import GuidedDepthNet
 
     variables = load_best(args.checkpoint)
+
+    if args.dataset:
+        if not args.root:
+            raise SystemExit("--dataset requires --root")
+        ds = make_dataset(args, args.split)
+        n = len(ds)
+        frames = (
+            (ds[i]["rgb"], ds[i]["depth"][..., 0], f"{i:06d}") for i in range(n)
+        )
+        h, w = ds[0]["rgb"].shape[:2]
+    else:
+        if not (args.rgb_glob and args.depth_glob):
+            raise SystemExit("provide --rgb-glob/--depth-glob or --dataset/--root")
+        rgbs = sorted(globlib.glob(args.rgb_glob))
+        depths = sorted(globlib.glob(args.depth_glob))
+        n = len(rgbs)
+
+        def _load(rp, dp):
+            d = (
+                data_io.load_depth_png16(dp)
+                if dp.endswith(".png")
+                else np.load(dp).astype(np.float32)
+            )
+            return data_io.load_rgb(rp), d, os.path.splitext(os.path.basename(rp))[0]
+
+        frames = (_load(rp, dp) for rp, dp in zip(rgbs, depths))
+        h, w = args.height, args.width
+
     engine = StreamingEngine(
-        variables,
-        height=args.height,
-        width=args.width,
-        model=GuidedDepthNet(step1_pos_fn=args.pos_fn),
+        variables, height=h, width=w, model=GuidedDepthNet(step1_pos_fn=args.pos_fn)
     )
     engine.warmup()
-    rgbs = sorted(globlib.glob(args.rgb_glob))
-    depths = sorted(globlib.glob(args.depth_glob))
     os.makedirs(args.out_dir, exist_ok=True)
-    for i, (rp, dp) in enumerate(zip(rgbs, depths)):
-        rgb = data_io.load_rgb(rp)
-        d = (
-            data_io.load_depth_png16(dp)
-            if dp.endswith(".png")
-            else np.load(dp).astype(np.float32)
-        )
+    for i, (rgb, d, base) in enumerate(frames):
         out0, _ = engine(rgb, d, rgb, d)
         dense = np.asarray(out0)[0, :, :, 0]
-        base = os.path.splitext(os.path.basename(rp))[0]
         data_io.save_depth_png16(os.path.join(args.out_dir, base + "_depth.png"), dense)
         save_depth(dense, os.path.join(args.out_dir, base + "_vis.png"))
-        print(f"[{i + 1}/{len(rgbs)}] {base}")
+        print(f"[{i + 1}/{n}] {base}")
     return 0
 
 

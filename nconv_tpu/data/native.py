@@ -45,9 +45,14 @@ def _load():
     with _lib_lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.isfile(_SO_PATH) and not _build():
-            _build_failed = True
-            return None
+        src = os.path.join(_NATIVE_DIR, "depthio.cpp")
+        stale = os.path.isfile(_SO_PATH) and os.path.isfile(src) and (
+            os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+        )
+        if (not os.path.isfile(_SO_PATH) or stale) and not _build():
+            if not os.path.isfile(_SO_PATH):
+                _build_failed = True
+                return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
@@ -66,7 +71,9 @@ def _load():
         lib.depthio_load_rgb_u8.argtypes = [c, i, u8p, i, i]
         lib.depthio_crop_top_center.argtypes = [fp, i, i, i, i, i, fp]
         lib.depthio_apply_mask.argtypes = [fp, fp, ctypes.c_long]
-        lib.depthio_encode_depth_wire.argtypes = [fp, u16p, ctypes.c_long]
+        lib.depthio_encode_depth_wire.argtypes = [
+            fp, u16p, ctypes.c_long, ctypes.c_float,
+        ]
         # single-open entries (info + pixels in one open; older .so builds
         # may lack them — loaders fall back to the two-call pattern)
         ip = ctypes.POINTER(i)
@@ -245,11 +252,11 @@ def apply_mask(depth: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return d
 
 
-def encode_depth_wire(depth: np.ndarray) -> np.ndarray:
+def encode_depth_wire(depth: np.ndarray, scale: float = 256.0) -> np.ndarray:
     lib = _load()
     d = np.ascontiguousarray(depth, np.float32)
     if lib is None:
-        return np.clip(d * 256.0, 0, 65535).astype(np.uint16)
+        return np.clip(d * scale, 0, 65535).astype(np.uint16)
     out = np.empty(d.shape, np.uint16)
-    lib.depthio_encode_depth_wire(d, out, d.size)
+    lib.depthio_encode_depth_wire(d, out, d.size, scale)
     return out

@@ -1,5 +1,5 @@
 """Model zoo: unguided NConv UNet (step 1) and RGB-guided fusion net (step 2)."""
-from .fold import fold_batchnorm_variables
+from .fold import fold_batchnorm_variables, maybe_fold
 from .guided import (
     BORDER_LEFT,
     BORDER_TOP,
@@ -25,6 +25,7 @@ from .unguided import CONF_THRESHOLD, NConvUNet, Step1Unguided
 
 __all__ = [
     "fold_batchnorm_variables",
+    "maybe_fold",
     "BORDER_LEFT",
     "BORDER_TOP",
     "FusionResolution0",

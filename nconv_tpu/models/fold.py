@@ -50,6 +50,23 @@ def _fold_node(params: dict, stats: dict) -> dict:
     return out
 
 
+def maybe_fold(model, variables, fold_bn: bool = True):
+    """``(model, variables) -> (model', variables')`` with every BatchNorm
+    folded into its conv, when possible: the model is not already folded and
+    the variables actually carry batch stats. The shared inference-engine
+    entry (StreamingEngine / DataParallelEngine) — keeps the fold policy in
+    one place."""
+    if (
+        fold_bn
+        and not getattr(model, "fold_bn", False)
+        and isinstance(variables, dict)
+        and variables.get("batch_stats")
+    ):
+        model = model.clone(fold_bn=True)
+        variables = fold_batchnorm_variables(variables)
+    return model, variables
+
+
 def fold_batchnorm_variables(variables: dict) -> dict:
     """``{'params', 'batch_stats'}`` of a BN model -> ``{'params'}`` for the
     same model constructed with ``fold_bn=True``. Weights come back as

@@ -43,11 +43,15 @@ class NConvUNet(nn.Module):
     @nn.compact
     def __call__(self, sparse):
         h_, w_ = sparse.shape[1:3]
-        if h_ % 8 or w_ % 8:
+        if (h_ % 8 or w_ % 8) and self.backend == "pallas":
+            # the XLA path is shape-agnostic (floor-mode pools + resize-to-
+            # skip-size decoder); only the fused (B,H,C,W) kernels assume the
+            # clean /8 pyramid geometry
             raise ValueError(
-                f"NConvUNet needs H and W divisible by 8 for its 3-level "
-                f"pyramid; got {h_}x{w_} — pad or crop the input "
-                f"(reference geometry: NYU 480x640, KITTI 352x1216)"
+                f"NConvUNet(backend='pallas') needs H and W divisible by 8 "
+                f"for its 3-level pyramid; got {h_}x{w_} — pad or crop the "
+                f"input (reference geometry: NYU 480x640, KITTI 352x1216), "
+                f"or use backend='xla' for arbitrary sizes"
             )
         c = self.num_channels
         # With the pallas backend the whole body runs in the kernels' native

@@ -40,17 +40,11 @@ class DataParallelEngine:
         fold_bn: bool = True,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.model = model or GuidedDepthNet()
-        if (
-            fold_bn
-            and not getattr(self.model, "fold_bn", False)
-            and isinstance(variables, dict)
-            and variables.get("batch_stats")
-        ):
-            from ..models import fold_batchnorm_variables
+        from ..models import maybe_fold
 
-            self.model = self.model.clone(fold_bn=True)
-            variables = fold_batchnorm_variables(variables)
+        self.model, variables = maybe_fold(
+            model or GuidedDepthNet(), variables, fold_bn
+        )
         self.height, self.width = height, width
         self.n_data = self.mesh.shape[DATA_AXIS]
 

@@ -78,20 +78,14 @@ class StreamingEngine:
         donate: bool = False,
         fold_bn: bool = True,
     ):
-        self.model = model or GuidedDepthNet(dtype=compute_dtype)
+        from ..models import maybe_fold
+
         # Inference-only graph: fold every BatchNorm into its conv (exact
         # affine rewrite, see models.fold) — one fewer full-res elementwise
         # pass per normalized conv.
-        if (
-            fold_bn
-            and not getattr(self.model, "fold_bn", False)
-            and isinstance(variables, dict)
-            and variables.get("batch_stats")
-        ):
-            from ..models import fold_batchnorm_variables
-
-            self.model = self.model.clone(fold_bn=True)
-            variables = fold_batchnorm_variables(variables)
+        self.model, variables = maybe_fold(
+            model or GuidedDepthNet(dtype=compute_dtype), variables, fold_bn
+        )
         self.height, self.width = height, width
         self.compute_dtype = compute_dtype
         self.rgb_wire_dtype = np.dtype(rgb_wire_dtype)
@@ -144,8 +138,9 @@ class StreamingEngine:
         if self.depth_wire_dtype == np.uint16:
             from ..data import native
 
-            # fused scale+clip+cast in C (GIL-released) when available
-            return native.encode_depth_wire(a)
+            # fused scale+clip+cast in C (GIL-released) when available;
+            # scale mirrors the in-graph decode's DEPTH_SCALE
+            return native.encode_depth_wire(a, self.DEPTH_SCALE)
         return a.astype(self.depth_wire_dtype)
 
     def _stage(self, arr: np.ndarray, channels: int) -> jax.Array:

@@ -372,7 +372,11 @@ class Trainer:
         from ..utils import save_depth
 
         os.makedirs(self.cfg.image_dir, exist_ok=True)
-        pred = np.asarray(self.task.predict(self._variables(state), batch))
+        # jit once: an op-by-op forward costs ~2ms per dispatch on tunneled
+        # TPU backends, stalling the train loop for seconds per dump
+        if not hasattr(self, "_jit_predict"):
+            self._jit_predict = jax.jit(self.task.predict)
+        pred = np.asarray(self._jit_predict(self._variables(state), batch))
         stem = os.path.join(
             self.cfg.image_dir, f"{self.cfg.run_name}_e{epoch}_b{batch_idx}"
         )
@@ -464,4 +468,14 @@ def grid_search(
         best.best_variables = CheckpointManager(
             os.path.join(checkpoint_dir, best_cell)
         ).load_best_variables()
+        if best.best_variables is None:
+            # grid_results.json says the cell finished but its saved model is
+            # gone (cleaned dir / copied json) — fail fast with the remedy
+            # instead of crashing hours later in save_best(None)
+            raise FileNotFoundError(
+                f"grid cell '{best_cell}' is marked complete in "
+                f"{results_path} but {checkpoint_dir}/{best_cell}/"
+                "best_variables is missing; delete the cell's entry from "
+                "grid_results.json to re-train it"
+            )
     return best, best_lr, best_wd

@@ -236,9 +236,16 @@ def test_full_bhcw_pallas_graph_matches_xla():
     )
 
 
-def test_unguided_rejects_bad_geometry():
+def test_unguided_geometry_policy():
+    """pallas needs the clean /8 pyramid; the XLA path is shape-agnostic
+    (floor-mode pools + resize-to-skip-size decoder)."""
     import pytest as _pytest
 
-    m = NConvUNet()
     with _pytest.raises(ValueError, match="divisible by 8"):
-        m.init(jax.random.key(0), jnp.zeros((1, 50, 64, 1)))
+        NConvUNet(backend="pallas").init(jax.random.key(0), jnp.zeros((1, 50, 64, 1)))
+    m = NConvUNet()  # xla default accepts arbitrary sizes
+    d, c = m.apply(
+        m.init(jax.random.key(0), jnp.zeros((1, 52, 68, 1))),
+        jnp.ones((1, 52, 68, 1)),
+    )
+    assert d.shape == (1, 52, 68, 1) and c.shape == (1, 52, 68, 1)

@@ -230,6 +230,5 @@ def test_pallas_conv_grads_match_xla():
     with pltpu.force_tpu_interpret_mode():
         gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, k, b)
     gx = jax.grad(loss_x, argnums=(0, 1, 2))(x, k, b)
-    gx = (jnp.transpose(gx[0], (0, 1, 3, 2)) if False else gx[0], gx[1], gx[2])
     for a, c in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4, rtol=1e-4)
