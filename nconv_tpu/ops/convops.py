@@ -175,6 +175,60 @@ def space_to_depth_bhcw(x: jax.Array, pad: int = 1) -> jax.Array:
     )
 
 
+def space_to_depth_aligned(x: jax.Array) -> jax.Array:
+    """Aligned-form s2d: (B, H, C, Wp) with data [0,h)x[0,w) ->
+    (B, H/2, 4C, Wp/2), phases (py, px) stacked as full-C channel blocks.
+
+    No canvas padding: the consumer is a 2x2-tap aligned conv with a
+    synthetic top/left halo (``conv_kernel_s2d_aligned``), so the stride-2
+    conv's pad-1 halo never materializes. Pure deinterleave — the row split
+    is a cheap non-minor slice; only two lane-stride-2 ops are issued.
+    """
+    b, h, c, wp = x.shape
+    assert h % 2 == 0 and wp % 2 == 0, (h, wp)
+    top, bot = x[:, 0::2], x[:, 1::2]
+    return jnp.concatenate(
+        [top[..., 0::2], top[..., 1::2], bot[..., 0::2], bot[..., 1::2]],
+        axis=2,
+    )
+
+
+def conv_kernel_s2d_aligned(kernel: jax.Array) -> jax.Array:
+    """3x3 stride-2 pad-1 HWIO kernel -> the 2x2-tap stride-1 kernel over an
+    *aligned* (canvas-free) space-to-depth input.
+
+    Derivation: out(ho, wo) = sum_{dy,dx} K[dy,dx] x[2ho+dy-1, 2wo+dx-1];
+    data row 2ho+dy-1 lives in phase py=(dy+1)%2 at block row
+    ho + floor((dy-1)/2), i.e. kernel tap r = dy - 1 - 2*floor((dy-1)/2)
+    mapped onto a 2-tap grid with a synthetic top/left halo of 1
+    (pad_top=pad_left=1, pad_bottom=pad_right=0 in the aligned conv).
+    """
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3), "aligned s2d form is for the 3x3/s2 encoders"
+
+    def rmap(d):  # full-res tap offset d in {0,1,2} -> (tap_idx, phase)
+        return (0, 1) if d == 0 else (1, 0) if d == 1 else (1, 1)
+
+    out = jnp.zeros((2, 2, 4 * cin, cout), kernel.dtype)
+    for dy in range(3):
+        ry, py = rmap(dy)
+        for dx in range(3):
+            rx, px = rmap(dx)
+            blk = (py * 2 + px) * cin
+            out = out.at[ry, rx, blk : blk + cin].set(kernel[dy, dx])
+    return out
+
+
+def shortcut_kernel_s2d_aligned(kernel: jax.Array) -> jax.Array:
+    """1x1 stride-2 (pad-0) kernel -> a tap in the same 2x2 aligned grid as
+    :func:`conv_kernel_s2d_aligned`: out(t) = K x[2t] = phase (0,0) at block
+    offset 0, i.e. tap (1,1) under the pad_top=pad_left=1 convention."""
+    assert kernel.shape[:2] == (1, 1)
+    _, _, cin, cout = kernel.shape
+    out = jnp.zeros((2, 2, 4 * cin, cout), kernel.dtype)
+    return out.at[1, 1, 0:cin].set(kernel[0, 0])
+
+
 def conv_kernel_s2d(kernel: jax.Array) -> jax.Array:
     """HWIO stride-2 kernel -> the stride-1 kernel over a space-to-depth
     input: K'[qy, qx, (py, px, ci), co] = K[2qy+py, 2qx+px, ci, co]."""

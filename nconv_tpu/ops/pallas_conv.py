@@ -7,6 +7,15 @@ MXU matmuls accumulated over horizontal taps, with bias + optional ReLU
 fused into the row store. Used for the guided net's 3x3 conv stacks
 (32-64 channels at full resolution), where XLA's conv lowering runs ~2 ms
 per layer; this kernel measures ~2x faster with second-scale compiles.
+
+Aligned-form IO (round 2): the kernel synthesizes its own halos — the
+top/bottom row halo by zeroing scratch rows around a clamped DMA window,
+the left lane halo from a 128-lane zeroed FRONT margin in scratch (the
+right halo comes from the input's own zero lanes) — so chained convs pass
+"aligned form" tensors (data at rows [0,h) x lanes [0,w) of a 128-aligned
+array, zeros elsewhere) with **no XLA pad between layers at all**. The
+pre-round-2 profile showed ~1.6 ms/frame of XLA pads feeding these kernels
+at KITTI 352x1216.
 """
 from __future__ import annotations
 
@@ -17,6 +26,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# lane margin in scratch providing the synthetic left halo (and DMA lane
+# alignment); taps read at FRONT - pad_left + dx >= FRONT - 2
+FRONT = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -57,42 +70,119 @@ def auto_row_group(kh: int, cin_p: int, cout: int, max_g: int = 8) -> int:
     return best
 
 
-def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
-            cin_p: int, cout: int, cout_store: int, th: int, w_out: int,
-            relu: bool, use_bias: bool, g: int, residual: bool,
-            n_tiles: int, n_total: int):
-    # Halo load: BlockSpec index maps cannot express overlapping H-tiles, so
-    # the padded input stays in HBM and each grid step DMAs its
-    # (th + kh - 1)-row slice (halo included) into VMEM scratch.
-    #
-    # Double-buffered across grid steps (scratch and semaphores persist on
-    # the sequential TPU grid): step i starts the DMA for step i+1 into the
-    # other slot before waiting on its own, so the input transfer of the
-    # next tile overlaps this tile's matmuls.
-    idx = pl.program_id(0)
+def _tile_windows(n_tiles: int, th: int, kh: int, pad_top: int, h_in: int):
+    """Static per-tile DMA windows over the *virtual* padded row space.
 
-    def dma_for(step, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[step // n_tiles, pl.ds((step % n_tiles) * th, th + kh - 1)],
-            xs.at[slot],
-            sem.at[slot],
-        )
+    Tile t covers virtual rows [t*th - pad_top, t*th - pad_top + th + kh - 1);
+    the DMA copies the intersection with the real rows [0, h_in) and the
+    kernel zeroes the scratch rows outside it. Returns a list of
+    (src_start_expr_is_dynamic-safe) tuples: (dst_offset, size, zero_top,
+    zero_bottom) — all static ints, one entry per tile.
+    """
+    rows_full = th + kh - 1
+    wins = []
+    for t in range(n_tiles):
+        start_v = t * th - pad_top
+        lo = max(0, start_v)
+        hi = min(h_in, start_v + rows_full)
+        size = max(0, hi - lo)
+        off = lo - start_v
+        wins.append((off, size, off, rows_full - off - size))
+    return wins
+
+
+def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
+            cin_p: int, cout: int, cout_store: int, th: int,
+            w_out: int, wp_out: int, relu: bool, use_bias: bool, g: int,
+            residual: bool, n_tiles: int, n_total: int, pad_top: int,
+            pad_left: int, h_in: int, h_out: int, wp_in: int,
+            aligned_out: bool):
+    """Grid step = one (batch, H-tile) block on a flattened grid.
+
+    Halo load: BlockSpec index maps cannot express overlapping H-tiles, so
+    the input stays in HBM and each grid step DMAs its (th + kh - 1)-row
+    window (clamped to real rows) into VMEM scratch, double-buffered across
+    grid steps: step i starts the DMA for step i+1 into the other slot
+    before waiting on its own, so the next tile's transfer overlaps this
+    tile's matmuls.
+    """
+    idx = pl.program_id(0)
+    rows_full = th + kh - 1
+    wins = _tile_windows(n_tiles, th, kh, pad_top, h_in)
+    # distinct (dst_offset, size) classes -> one static DMA variant each;
+    # start and wait must branch identically (the semaphore wait counts the
+    # copy's bytes, which differ per class)
+    classes = sorted({(o, s) for (o, s, _zt, _zb) in wins if s})
+
+    def dma_apply(step, slot, action):
+        t = step % n_tiles
+        bi = step // n_tiles
+        for off, size in classes:
+            tiles = [k for k, wn in enumerate(wins) if wn[:2] == (off, size)]
+            cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
+
+            @pl.when(cond)
+            def _go(off=off, size=size):
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(jnp.maximum(t * th - pad_top, 0), size)],
+                    xs.at[slot, pl.ds(off, size), :, pl.ds(FRONT, wp_in)],
+                    sem.at[slot],
+                )
+                cp.start() if action == "start" else cp.wait()
+
+    @pl.when(idx == 0)
+    def _zero_margins():
+        # one-time: lane margins outside the DMA'd window stay zero for the
+        # whole (sequential) grid — they provide the synthetic left halo and
+        # the tail slack the tap slices read past wp_in
+        for s in (0, 1):
+            xs[s, :, :, 0:FRONT] = jnp.zeros_like(xs[s, :, :, 0:FRONT])
+            xs[s, :, :, FRONT + wp_in :] = jnp.zeros_like(
+                xs[s, :, :, FRONT + wp_in :]
+            )
 
     @pl.when(idx == 0)
     def _warmup():
-        dma_for(0, 0).start()
+        dma_apply(0, 0, "start")
 
     @pl.when(idx + 1 < n_total)
     def _prefetch():
-        dma_for(idx + 1, (idx + 1) % 2).start()
+        dma_apply(idx + 1, (idx + 1) % 2, "start")
 
-    dma_for(idx, idx % 2).wait()
     slot = idx % 2
+    t = idx % n_tiles
+    dma_apply(idx, slot, "wait")
+
+    # zero the scratch rows the clamped DMA did not fill (virtual halo rows)
+    for zt in sorted({wn[2] for wn in wins if wn[2]}):
+        tiles = [k for k, wn in enumerate(wins) if wn[2] == zt]
+        cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
+
+        @pl.when(cond)
+        def _zero_top(zt=zt):
+            xs[slot, 0:zt, :, FRONT : FRONT + wp_in] = jnp.zeros_like(
+                xs[slot, 0:zt, :, FRONT : FRONT + wp_in]
+            )
+
+    for zb in sorted({wn[3] for wn in wins if wn[3]}):
+        tiles = [k for k, wn in enumerate(wins) if wn[3] == zb]
+        cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
+
+        @pl.when(cond)
+        def _zero_bottom(zb=zb):
+            xs[slot, rows_full - zb :, :, FRONT : FRONT + wp_in] = (
+                jnp.zeros_like(
+                    xs[slot, rows_full - zb :, :, FRONT : FRONT + wp_in]
+                )
+            )
 
     f32 = jnp.float32
     k_rows = (kh + g - 1) * cin_p
-    wp = xs.shape[-1]
+    wp_s = xs.shape[-1]
     bias_col = bias_ref[:, :] if use_bias else None
+    mask_lanes = wp_out > w_out
+    if mask_lanes:
+        lane_ok = lax.broadcasted_iota(jnp.int32, (1, wp_out), 1) < w_out
 
     # G output rows per iteration: one block-Toeplitz matmul per tap
     # computes all of them, amortizing loop and matmul-issue overhead.
@@ -104,12 +194,13 @@ def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
             # VMEM, so the u8 frame never round-trips HBM as floats.
             # (Mosaic lacks a direct u8->f32 cast; widen to i32 first.)
             a = a.astype(jnp.int32).astype(f32)
-        a = a.reshape(k_rows, wp)
-        acc = jnp.zeros((g * cout, w_out), f32)
+        a = a.reshape(k_rows, wp_s)
+        acc = jnp.zeros((g * cout, wp_out), f32)
         for dx in range(kw):
+            off = FRONT - pad_left + dx
             acc += lax.dot_general(
                 w2_ref[dx],
-                a[:, dx : dx + w_out],
+                a[:, off : off + wp_out],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
@@ -131,12 +222,168 @@ def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
                 res = res + bias_col
             if relu:
                 res = jnp.maximum(res, 0.0)
-        out_ref[0, pl.ds(h0, g)] = res.reshape(g, cout_store, w_out).astype(
+        if mask_lanes:
+            res = jnp.where(lane_ok, res, 0.0)  # aligned form: zero pad lanes
+        out_ref[0, pl.ds(h0, g)] = res.reshape(g, cout_store, wp_out).astype(
             out_ref.dtype
         )
         return 0
 
     lax.fori_loop(0, th // g, group, 0)
+
+    # aligned form: output rows past h_out (tile overhang) must be zeros
+    overhang = n_tiles * th - h_out
+    if overhang and aligned_out:
+        @pl.when(t == n_tiles - 1)
+        def _zero_tail_rows():
+            out_ref[0, th - min(overhang, th) :] = jnp.zeros_like(
+                out_ref[0, th - min(overhang, th) :]
+            )
+
+
+def _conv_core(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias,
+    *,
+    pad_top: int,
+    pad_left: int,
+    h_in: int,
+    w_in: int,
+    h_out: int,
+    w_out: int,
+    wp_out: int,
+    relu: bool,
+    tile_h: int | None,
+    residual_channels: int | None,
+    aligned_out: bool,
+) -> jax.Array:
+    """Shared core. ``x`` is (B, Hx, cin, wp_in) with data at rows
+    [0, h_in) x lanes [0, w_in), zeros elsewhere (cin a sublane-granule
+    multiple). Returns (B, alloc_rows >= h_out, cout_store, wp_out)."""
+    kh, kw, cin, cout = kernel.shape
+    b, hx, cin_in, wp_in = x.shape
+    assert cin_in == cin and cin % 8 == 0, (cin_in, cin)
+    assert hx >= h_in and wp_in >= w_in and wp_in % 128 == 0
+    assert wp_out <= wp_in + FRONT - kw + 1 + pad_left, (wp_out, wp_in)
+    residual = residual_channels is not None
+    cout_store = residual_channels if residual else cout
+    if residual:
+        assert cout == 2 * cout_store, (cout, cout_store)
+    out_dtype = kernel.dtype if jnp.issubdtype(x.dtype, jnp.integer) else x.dtype
+
+    g = auto_row_group(kh, cin, cout)
+    # block-Toeplitz tap matrices: row group r of the output uses the same
+    # taps shifted r*cin columns into the (kh+g-1)-row input window
+    w_t = jnp.transpose(kernel, (1, 3, 0, 2))  # (kw, cout, kh, cin)
+    w2 = jnp.stack(
+        [jnp.pad(w_t, ((0, 0), (0, 0), (r, g - 1 - r), (0, 0))) for r in range(g)],
+        axis=1,
+    ).reshape(kw, g * cout, (kh + g - 1) * cin)
+
+    itemsize = jnp.dtype(x.dtype).itemsize
+    wp_s = wp_in + 2 * FRONT
+    fixed = (
+        w2.size * 4
+        + 2 * (kh + g - 1) * cin * wp_s * itemsize
+        + 2 * g * cout * wp_out * 4
+    )
+    if tile_h is None:
+        tile_h = auto_tile_h(
+            cin * wp_s * itemsize,
+            cout_store * wp_out * jnp.dtype(out_dtype).itemsize,
+            kh, h_out, fixed_bytes=fixed,
+        )
+    th = min(_round_up(tile_h, g), _round_up(h_out, g))
+    if aligned_out:
+        # exact tiling (no overhang rows to mask / slice off): largest
+        # multiple-of-g divisor of h_out not exceeding the VMEM-fit tile
+        for cand in range(th, 0, -1):
+            if h_out % cand == 0 and cand % g == 0:
+                th = cand
+                break
+    n_tiles = -(-h_out // th)
+
+    use_bias = bias is not None
+    if residual:
+        # residual epilogue indexes bias per row group: plain (cout_store, 1)
+        bias_arr = (
+            bias if use_bias else jnp.zeros((cout_store,), out_dtype)
+        ).reshape(-1, 1)
+    else:
+        bias_arr = (bias if use_bias else jnp.zeros((cout,), out_dtype))
+        bias_arr = jnp.tile(bias_arr, g).reshape(-1, 1)  # (g*cout, 1)
+
+    n_total = b * n_tiles
+    kfun = functools.partial(
+        _kernel, kh=kh, kw=kw, cin_p=cin, cout=cout, cout_store=cout_store,
+        th=th, w_out=w_out, wp_out=wp_out, relu=relu, use_bias=use_bias,
+        g=g, residual=residual, n_tiles=n_tiles, n_total=n_total,
+        pad_top=pad_top, pad_left=pad_left, h_in=h_in, h_out=h_out,
+        wp_in=wp_in, aligned_out=aligned_out,
+    )
+    return pl.pallas_call(
+        kfun,
+        grid=(n_total,),  # flattened (batch, H-tile) for cross-step prefetch
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # aligned input, HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, cout_store, wp_out),
+            lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_tiles * th, cout_store, wp_out), out_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + kh - 1, cin, wp_s), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x, w2, bias_arr)
+
+
+def conv2d_pallas_bhcw_aligned(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    w: int,
+    h: int | None = None,
+    padding: int = 1,
+    pad_top: int | None = None,
+    pad_left: int | None = None,
+    pad_bottom: int | None = None,
+    pad_right: int | None = None,
+    relu: bool = False,
+    tile_h: int | None = None,
+    residual_channels: int | None = None,
+) -> tuple[jax.Array, int, int]:
+    """Aligned-form conv: ``x`` (B, Hx, cin, Wp) with data at rows [0, h) x
+    lanes [0, w), zeros elsewhere. Returns ``(out, h_out, w_out)`` where
+    ``out`` is aligned-form (B, alloc >= h_out, cout, round_up(w_out, 128)).
+
+    No XLA pad is issued anywhere: halos are synthesized in the kernel
+    (zeroed scratch rows / a zeroed lane margin). Inference-only fast path —
+    not differentiable (training uses :func:`conv2d_pallas_bhcw`).
+    """
+    kh, kw, cin, _ = kernel.shape
+    pt = padding if pad_top is None else pad_top
+    pb = pt if pad_bottom is None else pad_bottom
+    pl_ = padding if pad_left is None else pad_left
+    pr = pl_ if pad_right is None else pad_right
+    h_in = x.shape[1] if h is None else h
+    h_out = h_in + pt + pb - (kh - 1)
+    w_out = w + pl_ + pr - (kw - 1)
+    out = _conv_core(
+        x, kernel, bias,
+        pad_top=pt, pad_left=pl_, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
+        wp_out=_round_up(w_out, 128), relu=relu, tile_h=tile_h,
+        residual_channels=residual_channels, aligned_out=True,
+    )
+    return out, h_out, w_out
 
 
 @functools.partial(
@@ -246,9 +493,9 @@ def _conv2d_bhcw_impl(
     tile_h: int | None = None,
     residual_channels: int | None = None,
 ) -> jax.Array:
-    """Stride-1 conv on (B, H, C, W) operands; kernel HWIO. Fuses bias and
-    optional ReLU. Integer inputs (uint8 camera frames) are decoded to float
-    inside the kernel. Returns (B, H_out, Cout, W_out) in the kernel dtype.
+    """Stride-1 conv on logical (B, H, C, W) operands; kernel HWIO. Fuses
+    bias and optional ReLU. Integer inputs (uint8 camera frames) are decoded
+    to float inside the kernel. Returns (B, H_out, Cout, W_out).
 
     ``residual_channels=N``: the kernel's output channels are a stacked pair
     [main(N) ‖ shortcut(rest, typically N)] sharing this input; the kernel
@@ -260,95 +507,26 @@ def _conv2d_bhcw_impl(
     kh, kw, cin, cout = kernel.shape
     b, h, cin_in, w = x.shape
     assert cin_in == cin, (cin_in, cin)
-    residual = residual_channels is not None
-    cout_store = residual_channels if residual else cout
-    if residual:
-        assert cout == 2 * cout_store, (cout, cout_store)
-    out_dtype = kernel.dtype if jnp.issubdtype(x.dtype, jnp.integer) else x.dtype
     p = padding
     h_out = h + 2 * p - (kh - 1)
     w_out = w + 2 * p - (kw - 1)
 
     cin_p = _round_up(cin, 8)
-    g = auto_row_group(kh, cin_p, cout)
     if cin_p != cin:
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
+    # one XLA pad to aligned form (right-side lanes + channels only; the
+    # kernel synthesizes the actual conv halos itself)
+    wp = _round_up(w, 128)
+    if cin_p != cin or wp != w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cin_p - cin), (0, wp - w)))
 
-    # block-Toeplitz tap matrices: row group r of the output uses the same
-    # taps shifted r*cin_p columns into the (kh+g-1)-row input window
-    w_t = jnp.transpose(kernel, (1, 3, 0, 2))  # (kw, cout, kh, cin_p)
-    w2 = jnp.stack(
-        [jnp.pad(w_t, ((0, 0), (0, 0), (r, g - 1 - r), (0, 0))) for r in range(g)],
-        axis=1,
-    ).reshape(kw, g * cout, (kh + g - 1) * cin_p)
-
-    itemsize = jnp.dtype(x.dtype).itemsize
-    wp_bytes = _round_up(w + 2 * p, 128) * itemsize
-    fixed = (
-        w2.size * 4  # tap matrices
-        + 2 * (kh + g - 1) * cin_p * wp_bytes  # im2col view + acc headroom
-        + 2 * g * cout * w_out * 4
+    out = _conv_core(
+        x, kernel, bias,
+        pad_top=p, pad_left=p, h_in=h, w_in=w, h_out=h_out, w_out=w_out,
+        wp_out=w_out, relu=relu, tile_h=tile_h,
+        residual_channels=residual_channels, aligned_out=False,
     )
-    if tile_h is None:
-        tile_h = auto_tile_h(
-            cin_p * wp_bytes, cout * w_out * itemsize, kh, h_out,
-            fixed_bytes=fixed,
-        )
-    th = min(_round_up(tile_h, g), _round_up(h_out, g))
-    n_tiles = -(-h_out // th)
-    extra_h = n_tiles * th + (kh - 1) - (h + 2 * p)
-    # lane (W) dim padded to a 128 multiple (DMA tile alignment); channel
-    # pad folded into the same single pad op
-    wp = _round_up(w + 2 * p, 128)
-    x_p = jnp.pad(
-        x,
-        (
-            (0, 0),
-            (p, p + max(extra_h, 0)),
-            (0, cin_p - cin),
-            (p, wp - w - p),
-        ),
-    )
-
-    use_bias = bias is not None
-    if residual:
-        # residual epilogue indexes bias per row group: plain (cout_store, 1)
-        bias_arr = (
-            bias if use_bias else jnp.zeros((cout_store,), out_dtype)
-        ).reshape(-1, 1)
-    else:
-        bias_arr = (bias if use_bias else jnp.zeros((cout,), out_dtype))
-        bias_arr = jnp.tile(bias_arr, g).reshape(-1, 1)  # (g*cout, 1)
-
-    n_total = b * n_tiles
-    kfun = functools.partial(
-        _kernel, kh=kh, kw=kw, cin_p=cin_p, cout=cout, cout_store=cout_store,
-        th=th, w_out=w_out, relu=relu, use_bias=use_bias, g=g,
-        residual=residual, n_tiles=n_tiles, n_total=n_total,
-    )
-    out = pl.pallas_call(
-        kfun,
-        grid=(n_total,),  # flattened (batch, H-tile) for cross-step prefetch
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, th, cout_store, w_out),
-            lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, n_tiles * th, cout_store, w_out), out_dtype
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, th + kh - 1, cin_p, wp), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )(x_p, w2, bias_arr)
-
-    if n_tiles * th != h_out:
+    if out.shape[1] != h_out:
         out = out[:, :h_out]
     return out
 

@@ -23,8 +23,10 @@ and the program tiny (a fori_loop over rows — it also compiles fast through
 the remote Mosaic path, unlike unrolled tap kernels).
 
 H-tiles need a (kh-1)-row halo, which BlockSpec index maps cannot express;
-the padded input therefore stays in HBM and each grid step DMAs its halo
-slice into VMEM scratch (lane dim 128-aligned for the DMA).
+the input stays in HBM and each grid step DMAs its clamped halo window into
+VMEM scratch. Like :mod:`pallas_conv`, the kernel synthesizes the halos
+itself (zeroed scratch rows, a zeroed FRONT lane margin), so aligned-form
+chains pass (B, H, C, Wp) tensors with no XLA pads between layers.
 """
 from __future__ import annotations
 
@@ -37,82 +39,141 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .nconv import EPS_DEFAULT, POS_FNS
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from .pallas_conv import FRONT, _round_up, _tile_windows, auto_tile_h
 
 
 def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
             sem_d, sem_c, *, kh: int, kw: int, cin_pad: int, cout: int,
-            th: int, w_out: int, eps: float, n_tiles: int, n_total: int):
+            th: int, w_out: int, wp_out: int, eps: float, n_tiles: int,
+            n_total: int, pad_top: int, pad_left: int, h_in: int,
+            h_out: int, wp_in: int, aligned_out: bool):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
-    d_hbm/c_hbm: (B, Hp, cin_pad, wp) padded data / confidence in HBM —
-             each step DMAs its (th + kh - 1)-row halo slice into the two
-             halves of a VMEM scratch slot (slot, rows, 2, cin_pad, wp),
+    d_hbm/c_hbm: (B, Hx, cin_pad, wp_in) aligned-form data / confidence in
+             HBM — each step DMAs its clamped halo window into the two
+             halves of a VMEM scratch slot (slot, rows, 2, cin_pad, wp_s),
              then forms data*conf in place with one VMEM pass. Keeping the
              operands separate in HBM kills the XLA-side dc-multiply pass
              AND the [dc ; c] concat copy the fused input needed.
              DMAs are double-buffered across grid steps: step i prefetches
-             step i+1's slices into the other slot before waiting.
+             step i+1's windows into the other slot before waiting.
     w2_ref:  (kw, 2*cout, kh*2*cin_pad)  block-diagonal tap matrices
     bias_ref/wsum_ref: (cout, 1)
-    out_ref/cout_ref:  (1, th, cout, w_out)
+    out_ref/cout_ref:  (1, th, cout, wp_out)
     """
     idx = pl.program_id(0)
+    rows_full = th + kh - 1
+    wins = _tile_windows(n_tiles, th, kh, pad_top, h_in)
+    classes = sorted({(o, s) for (o, s, _zt, _zb) in wins if s})
 
-    def dmas_for(step, slot):
-        src = lambda ref: ref.at[
-            step // n_tiles, pl.ds((step % n_tiles) * th, th + kh - 1)
-        ]
-        return (
-            pltpu.make_async_copy(src(d_hbm), xs.at[slot, :, 0], sem_d.at[slot]),
-            pltpu.make_async_copy(src(c_hbm), xs.at[slot, :, 1], sem_c.at[slot]),
-        )
+    def dma_apply(step, slot, action):
+        t = step % n_tiles
+        bi = step // n_tiles
+        for off, size in classes:
+            tiles = [k for k, wn in enumerate(wins) if wn[:2] == (off, size)]
+            cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
+
+            @pl.when(cond)
+            def _go(off=off, size=size):
+                src = pl.ds(jnp.maximum(t * th - pad_top, 0), size)
+                for ref, half, sem in ((d_hbm, 0, sem_d), (c_hbm, 1, sem_c)):
+                    cp = pltpu.make_async_copy(
+                        ref.at[bi, src],
+                        xs.at[slot, pl.ds(off, size), half,
+                              :, pl.ds(FRONT, wp_in)],
+                        sem.at[slot],
+                    )
+                    cp.start() if action == "start" else cp.wait()
+
+    @pl.when(idx == 0)
+    def _zero_margins():
+        for s in (0, 1):
+            xs[s, :, :, :, 0:FRONT] = jnp.zeros_like(xs[s, :, :, :, 0:FRONT])
+            xs[s, :, :, :, FRONT + wp_in :] = jnp.zeros_like(
+                xs[s, :, :, :, FRONT + wp_in :]
+            )
 
     @pl.when(idx == 0)
     def _warmup():
-        for dma in dmas_for(0, 0):
-            dma.start()
+        dma_apply(0, 0, "start")
 
     @pl.when(idx + 1 < n_total)
     def _prefetch():
-        for dma in dmas_for(idx + 1, (idx + 1) % 2):
-            dma.start()
+        dma_apply(idx + 1, (idx + 1) % 2, "start")
 
     slot = idx % 2
-    for dma in dmas_for(idx, slot):
-        dma.wait()
+    t = idx % n_tiles
+    dma_apply(idx, slot, "wait")
+
+    # zero the scratch rows the clamped DMA did not fill (virtual halo rows)
+    for zt in sorted({wn[2] for wn in wins if wn[2]}):
+        tiles = [k for k, wn in enumerate(wins) if wn[2] == zt]
+        cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
+
+        @pl.when(cond)
+        def _zero_top(zt=zt):
+            xs[slot, 0:zt, :, :, FRONT : FRONT + wp_in] = jnp.zeros_like(
+                xs[slot, 0:zt, :, :, FRONT : FRONT + wp_in]
+            )
+
+    for zb in sorted({wn[3] for wn in wins if wn[3]}):
+        tiles = [k for k, wn in enumerate(wins) if wn[3] == zb]
+        cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
+
+        @pl.when(cond)
+        def _zero_bottom(zb=zb):
+            xs[slot, rows_full - zb :, :, :, FRONT : FRONT + wp_in] = (
+                jnp.zeros_like(
+                    xs[slot, rows_full - zb :, :, :, FRONT : FRONT + wp_in]
+                )
+            )
+
     # data half := data * conf, once per tile (VMEM-only traffic); the
-    # (rows, 2, cin_pad, wp) layout reshapes to the (dy, half, ci) row order
-    # the tap matrices expect.
+    # (rows, 2, cin_pad, wp_s) layout reshapes to the (dy, half, ci) row
+    # order the tap matrices expect.
     xs[slot, :, 0] = xs[slot, :, 0] * xs[slot, :, 1]
 
     f32 = jnp.float32
     cin2 = 2 * cin_pad
     k_rows = kh * cin2
-    wp = xs.shape[-1]
+    wp_s = xs.shape[-1]
     bias_col = bias_ref[:, :]
     wsum_col = wsum_ref[:, :]
+    mask_lanes = wp_out > w_out
+    if mask_lanes:
+        lane_ok = lax.broadcasted_iota(jnp.int32, (1, wp_out), 1) < w_out
 
     def row(h, _):
-        a = xs[slot, pl.ds(h, kh)].reshape(k_rows, wp)
-        acc = jnp.zeros((2 * cout, w_out), f32)
+        a = xs[slot, pl.ds(h, kh)].reshape(k_rows, wp_s)
+        acc = jnp.zeros((2 * cout, wp_out), f32)
         for dx in range(kw):
+            off = FRONT - pad_left + dx
             acc += lax.dot_general(
                 w2_ref[dx],
-                a[:, dx : dx + w_out],
+                a[:, off : off + wp_out],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
         nomin = acc[:cout]
         denom = acc[cout:]
-        out_ref[0, h] = (nomin / (denom + eps) + bias_col).astype(out_ref.dtype)
-        cout_ref[0, h] = (denom / wsum_col).astype(cout_ref.dtype)
+        out = nomin / (denom + eps) + bias_col
+        cnf = denom / wsum_col
+        if mask_lanes:
+            out = jnp.where(lane_ok, out, 0.0)
+            cnf = jnp.where(lane_ok, cnf, 0.0)
+        out_ref[0, h] = out.astype(out_ref.dtype)
+        cout_ref[0, h] = cnf.astype(cout_ref.dtype)
         return 0
 
     lax.fori_loop(0, th, row, 0)
+
+    overhang = n_tiles * th - h_out
+    if overhang and aligned_out:
+        @pl.when(t == n_tiles - 1)
+        def _zero_tail_rows():
+            cut = th - min(overhang, th)
+            out_ref[0, cut:] = jnp.zeros_like(out_ref[0, cut:])
+            cout_ref[0, cut:] = jnp.zeros_like(cout_ref[0, cut:])
 
 
 def build_tap_matrices(w_pos: jax.Array, cin_pad: int) -> tuple[jax.Array, jax.Array]:
@@ -133,6 +194,104 @@ def build_tap_matrices(w_pos: jax.Array, cin_pad: int) -> tuple[jax.Array, jax.A
     w2 = w2.reshape(kw, 2 * cout, kh * 2 * cin_pad)
     wsum = jnp.sum(w_pos, axis=(0, 1, 2))
     return w2, wsum
+
+
+def _nconv_core(
+    data, conf, w_pos, bias, *, pad_top: int, pad_left: int, h_in: int,
+    w_in: int, h_out: int, w_out: int, wp_out: int, eps: float,
+    tile_h: int | None, aligned_out: bool,
+):
+    """Shared core. ``data``/``conf`` are (B, Hx, cin_pad, wp_in)
+    aligned-form (zeros outside rows [0,h_in) x lanes [0,w_in)); ``w_pos``
+    is the already-positive HWIO kernel (cin = cin_pad)."""
+    kh, kw, cin, cout = w_pos.shape
+    b, hx, cin_in, wp_in = data.shape
+    assert cin_in == cin and cin % 4 == 0, (cin_in, cin)
+    assert conf.shape == data.shape
+    w2, wsum = build_tap_matrices(w_pos, cin)
+
+    itemsize = jnp.dtype(data.dtype).itemsize
+    wp_s = wp_in + 2 * FRONT
+    if tile_h is None:
+        tile_h = auto_tile_h(
+            2 * cin * wp_s * itemsize,
+            2 * cout * wp_out * itemsize,  # two outputs (depth + confidence)
+            kh, h_out,
+        )
+    th = min(tile_h, h_out)
+    if aligned_out:
+        for cand in range(th, 0, -1):
+            if h_out % cand == 0:
+                th = cand
+                break
+    n_tiles = -(-h_out // th)
+
+    n_total = b * n_tiles
+    kfun = functools.partial(
+        _kernel, kh=kh, kw=kw, cin_pad=cin, cout=cout, th=th,
+        w_out=w_out, wp_out=wp_out, eps=eps, n_tiles=n_tiles,
+        n_total=n_total, pad_top=pad_top, pad_left=pad_left, h_in=h_in,
+        h_out=h_out, wp_in=wp_in, aligned_out=aligned_out,
+    )
+    block_out = pl.BlockSpec(
+        (1, th, cout, wp_out), lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if bias is None or bias.ndim == 0:  # None or scalar sentinel
+        bias = jnp.zeros((cout,), data.dtype)
+    return pl.pallas_call(
+        kfun,
+        grid=(n_total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # aligned data, HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # aligned conf, HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[block_out, block_out],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), data.dtype),
+            jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), data.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, th + kh - 1, 2, cin, wp_s), data.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(data, conf, w2, bias.reshape(-1, 1), wsum.reshape(-1, 1))
+
+
+def nconv2d_pallas_aligned(
+    data: jax.Array,
+    conf: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    w: int,
+    h: int | None = None,
+    padding: int = 0,
+    pos_fn: str = "softplus",
+    eps: float = EPS_DEFAULT,
+    tile_h: int | None = None,
+) -> tuple[jax.Array, jax.Array, int, int]:
+    """Aligned-form normalized conv: operands (B, Hx, cin, Wp) with data at
+    rows [0, h) x lanes [0, w), zeros elsewhere (cin % 4 == 0). Returns
+    ``(out, conf_out, h_out, w_out)`` in aligned form — no XLA pads.
+    Inference-only (training uses :func:`nconv2d_pallas_mxu_bhcw`)."""
+    kh, kw, cin, _ = kernel.shape
+    p = padding
+    h_in = data.shape[1] if h is None else h
+    h_out = h_in + 2 * p - (kh - 1)
+    w_out = w + 2 * p - (kw - 1)
+    w_pos = POS_FNS[pos_fn](kernel)
+    out, carr = _nconv_core(
+        data, conf, w_pos, bias,
+        pad_top=p, pad_left=p, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
+        wp_out=_round_up(w_out, 128), eps=eps, tile_h=tile_h,
+        aligned_out=True,
+    )
+    return out, carr, h_out, w_out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -272,68 +431,27 @@ def _nconv_bhcw_impl(
     # reshape then stays a pure tile stacking)
     cin_pad = max(_round_up(cin, 4), 4)
     w_pos = POS_FNS[pos_fn](kernel)
-    w2, wsum = build_tap_matrices(w_pos, cin_pad)
-    if bias is None or bias.ndim == 0:  # None or scalar sentinel
-        bias = jnp.zeros((cout,), data.dtype)
+    if cin_pad != cin:
+        w_pos = jnp.pad(w_pos, ((0, 0), (0, 0), (0, cin_pad - cin), (0, 0)))
+    if bias is not None and bias.ndim == 0:  # scalar sentinel
+        bias = None
 
-    cin2 = 2 * cin_pad
+    # one XLA pad to aligned form (right-side lanes + channels only; the
+    # kernel synthesizes the conv halos itself). data and conf stay separate
+    # in HBM — the kernel DMAs both into one scratch and forms data*conf
+    # there, so neither the dc elementwise pass nor the [dc ; c] concat
+    # ever touches HBM.
+    wp = _round_up(w, 128)
+    zpad = ((0, 0), (0, 0), (0, cin_pad - cin), (0, wp - w))
+    d_p = jnp.pad(data, zpad) if (cin_pad != cin or wp != w) else data
+    c_p = jnp.pad(conf, zpad) if (cin_pad != cin or wp != w) else conf
 
-    if tile_h is None:
-        from .pallas_conv import auto_tile_h
-
-        itemsize = jnp.dtype(data.dtype).itemsize
-        tile_h = auto_tile_h(
-            cin2 * (w + 2 * p) * itemsize,
-            2 * cout * w_out * itemsize,  # two outputs (depth + confidence)
-            kh,
-            h_out,
-        )
-    th = min(tile_h, h_out)
-    n_tiles = -(-h_out // th)
-    extra_h = n_tiles * th + (kh - 1) - (h + 2 * p)
-    # lane (W) dim padded to a 128 multiple: DMA slices must be tile-aligned.
-    # data and conf stay separate in HBM — the kernel DMAs both into one
-    # scratch and forms data*conf there, so neither the dc elementwise pass
-    # nor the [dc ; c] concat ever touches HBM.
-    wp = _round_up(w + 2 * p, 128)
-    zpad = (
-        (0, 0), (p, p + max(extra_h, 0)), (0, cin_pad - cin), (p, wp - w - p)
+    out, cout_arr = _nconv_core(
+        d_p, c_p, w_pos, bias,
+        pad_top=p, pad_left=p, h_in=h, w_in=w, h_out=h_out, w_out=w_out,
+        wp_out=w_out, eps=eps, tile_h=tile_h, aligned_out=False,
     )
-    d_p = jnp.pad(data, zpad)
-    c_p = jnp.pad(conf, zpad)
-
-    n_total = b * n_tiles
-    kfun = functools.partial(
-        _kernel, kh=kh, kw=kw, cin_pad=cin_pad, cout=cout, th=th,
-        w_out=w_out, eps=eps, n_tiles=n_tiles, n_total=n_total,
-    )
-    block_out = pl.BlockSpec(
-        (1, th, cout, w_out), lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    out, cout_arr = pl.pallas_call(
-        kfun,
-        grid=(n_total,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded data, HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded conf, HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[block_out, block_out],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_tiles * th, cout, w_out), data.dtype),
-            jax.ShapeDtypeStruct((b, n_tiles * th, cout, w_out), data.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, th + kh - 1, 2, cin_pad, wp), data.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )(d_p, c_p, w2, bias.reshape(-1, 1), wsum.reshape(-1, 1))
-
-    if n_tiles * th != h_out:
+    if out.shape[1] != h_out:
         out = out[:, :h_out]
         cout_arr = cout_arr[:, :h_out]
     return out, cout_arr

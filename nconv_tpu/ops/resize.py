@@ -29,15 +29,20 @@ def resize_nearest(
     """Nearest-neighbour resize to ``size=(H, W)``; torch 'nearest'
     convention. NHWC or BHCW.
 
-    (An integer-factor broadcast+reshape variant was tried and measured
-    *slower* than the gather on v5e — the cross-lane reshape costs more
-    than the gather's relayout — so this stays gather-based.)
+    Exact 2x upsamples (the UNet decoder's only case) go through
+    ``jnp.repeat`` — measured ~20-30% faster than the index gather on v5e,
+    which relayouts the minor axis W-major and back. Other ratios stay
+    gather-based (a general broadcast+reshape variant measured slower).
     """
     h_out, w_out = size
     w_axis = 3 if layout == "bhcw" else 2
     h_in, w_in = x.shape[1], x.shape[w_axis]
     if (h_out, w_out) == (h_in, w_in):
         return x
+    if (h_out, w_out) == (2 * h_in, 2 * w_in):
+        # torch nearest at exact 2x is pure duplication: floor(i * in/out)
+        # == i // 2 for every i
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=w_axis)
     hi = _nearest_indices(h_out, h_in)
     wi = _nearest_indices(w_out, w_in)
     x = x[:, hi]
