@@ -1,0 +1,129 @@
+"""Aligned-form tensor plumbing for the full-(B,H,C,W) inference graph.
+
+An *aligned-form* tensor is a (B, H_alloc, C, Wp) array whose logical data
+occupies rows [0, h) x lanes [0, w), with zeros everywhere else (Wp a
+multiple of 128, H_alloc >= h). The Pallas kernels synthesize conv halos
+from the zero margins (see ops/pallas_conv.py), so chained convolutions,
+channel concats, pools, 2x-repeats and s2d/d2s re-layouts compose with no
+XLA padding ops at all — the round-1 profile showed ~1.6 ms/frame of pads
+feeding the kernels at KITTI 352x1216.
+
+``AT`` carries the logical (h, w) alongside the array; shapes are static
+under jit, so this is free bookkeeping.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class AT(NamedTuple):
+    """Aligned-form tensor: array (B, H_alloc, C, Wp) + logical (h, w).
+
+    ``c`` is the logical channel count when the physical channels carry a
+    zero tail (granule padding); None means channels are exact. The Pallas
+    aligned entries zero-extend their kernels to match, so the padding is
+    arithmetically invisible.
+    """
+
+    arr: jax.Array
+    h: int
+    w: int
+    c: int | None = None
+
+    @property
+    def wp(self) -> int:
+        return self.arr.shape[-1]
+
+    @property
+    def channels(self) -> int:
+        return self.arr.shape[2]
+
+    @property
+    def logical_c(self) -> int:
+        return self.c if self.c is not None else self.arr.shape[2]
+
+
+def to_aligned(x: jax.Array, channels: int | None = None) -> AT:
+    """Exact (B, H, C, W) -> aligned form: one right-side pad of lanes to a
+    128 multiple (and channels up to ``channels`` if given)."""
+    b, h, c, w = x.shape
+    cpad = (channels - c) if channels else 0
+    wp = _round_up(w, 128)
+    if cpad or wp != w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cpad), (0, wp - w)))
+    return AT(x, h, w, c if cpad else None)
+
+
+def from_aligned(at: AT, channels: int | None = None) -> jax.Array:
+    """Aligned form -> exact (B, h, C[, :channels], w) (one narrowing slice)."""
+    c = channels if channels is not None else at.channels
+    return at.arr[:, : at.h, :c, : at.w]
+
+
+def ensure_wp(at: AT, wp: int) -> AT:
+    """Match the lane allocation (slice zeros off, or pad zeros on) — used
+    where two branches of different pyramid provenance meet (the sliced
+    lanes are outside both operands' data regions)."""
+    if at.wp == wp:
+        return at
+    if at.wp > wp:
+        assert wp >= _round_up(at.w, 128), (at.w, wp)
+        return AT(at.arr[..., :wp], at.h, at.w, at.c)
+    return AT(jnp.pad(at.arr, ((0, 0), (0, 0), (0, 0), (0, wp - at.wp))),
+              at.h, at.w, at.c)
+
+
+def realign(at: AT) -> AT:
+    """Re-establish Wp % 128 == 0 after an op that halved the lanes (pool,
+    s2d). Pads lanes only — a small copy at the low-resolution levels."""
+    wp = _round_up(at.wp, 128)
+    return at if wp == at.wp else ensure_wp(at, wp)
+
+
+def _match_rows(ats: list[AT]) -> list[AT]:
+    """Harmonize the row allocation across operands by slicing the larger
+    ones down to the smallest (only zero tail rows differ; allocations only
+    diverge at sizes without an even tile divisor, i.e. odd test
+    geometries — production sizes tile exactly and this is a no-op)."""
+    n = min(a.arr.shape[1] for a in ats)
+    assert all(n >= a.h for a in ats), [(a.arr.shape, a.h) for a in ats]
+    return [a if a.arr.shape[1] == n else AT(a.arr[:, :n], a.h, a.w, a.c)
+            for a in ats]
+
+
+def concat_c(ats: list[AT], zero_tail: int = 0) -> AT:
+    """Channel concat (+ optional zero-channel tail so the physical count
+    hits a sublane granule). All but the last operand must have exact
+    channels; the logical count is the sum of the operands' logical ones —
+    the zero tail stays arithmetically invisible (kernel zero-extension)."""
+    ats = _match_rows(ats)
+    a0 = ats[0]
+    for a in ats[1:]:
+        assert (a.h, a.w, a.wp, a.arr.shape[1]) == (
+            a0.h, a0.w, a0.wp, a0.arr.shape[1]
+        ), [(x.arr.shape, x.h, x.w) for x in ats]
+    for a in ats[:-1]:
+        assert a.c is None, "padded-channel operand must come last"
+    parts = [a.arr for a in ats]
+    if zero_tail:
+        parts.append(
+            jnp.zeros(a0.arr.shape[:2] + (zero_tail, a0.wp), a0.arr.dtype)
+        )
+    logical = sum(a.logical_c for a in ats)
+    arr = jnp.concatenate(parts, axis=2)
+    return AT(arr, a0.h, a0.w, logical if logical != arr.shape[2] else None)
+
+
+def add(a: AT, b: AT) -> AT:
+    a, b = _match_rows([a, b])
+    assert (a.h, a.w) == (b.h, b.w) and a.arr.shape == b.arr.shape, (
+        a.arr.shape, b.arr.shape, a.h, a.w, b.h, b.w,
+    )
+    return AT(a.arr + b.arr, a.h, a.w, a.c)

@@ -67,15 +67,32 @@ class UpCat(nn.Module):
 
     @nn.compact
     def __call__(self, rgb_skip, fusion, depth, train: bool = False):
-        cat_ax = 2 if self.layout == "bhcw" else -1
+        if self.layout == "bhcw":
+            from .aligned import concat_c, ensure_wp
+
+            # [depth ‖ fusion] with a zero-channel tail to the sublane
+            # granule (logical channels stay 1 + C for the param tree)
+            cat = concat_c(
+                [depth, fusion],
+                zero_tail=-(1 + fusion.logical_c) % 8,
+            )
+            fout = Basic2dTrans(
+                self.features, dtype=self.dtype, backend=self.backend,
+                fold_bn=self.fold_bn, layout=self.layout, name="upf"
+            )(cat, train)
+            fout = ensure_wp(fout, rgb_skip.wp)
+            return Basic2d(
+                self.features, dtype=self.dtype, backend=self.backend,
+                fold_bn=self.fold_bn, layout=self.layout, name="conv"
+            )(concat_c([fout, rgb_skip]), train)
         fout = Basic2dTrans(
             self.features, dtype=self.dtype, backend=self.backend,
             fold_bn=self.fold_bn, layout=self.layout, name="upf"
-        )(jnp.concatenate([depth, fusion], cat_ax), train)
+        )(jnp.concatenate([depth, fusion], -1), train)
         fout = Basic2d(
             self.features, dtype=self.dtype, backend=self.backend,
             fold_bn=self.fold_bn, layout=self.layout, name="conv"
-        )(jnp.concatenate([fout, rgb_skip], cat_ax), train)
+        )(jnp.concatenate([fout, rgb_skip], -1), train)
         return fout
 
 
@@ -100,7 +117,24 @@ class NewFusionBlock(nn.Module):
             feats, dtype=self.dtype, backend=self.backend, layout=conv_layout,
             name=name,
         )
-        if chain_bhcw and self.layout == "nhwc":
+        if self.layout == "bhcw":
+            # aligned-form chain: rgb/depth are ATs; the 1-channel depth is
+            # zero-extended to the sublane granule (kernel extends to match)
+            from .aligned import AT, concat_c
+
+            d8 = AT(
+                jnp.pad(depth.arr, ((0, 0), (0, 0), (0, 8 - depth.channels),
+                                    (0, 0)))
+                if depth.channels < 8 else depth.arr,
+                depth.h, depth.w, depth.logical_c,
+            )
+            rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
+            depth_feat = mk(self.rgb_channels, "depth_conv")(d8)
+            fused = concat_c([rgb_feat, depth_feat])
+            fused = mk(self.rgb_channels, "fuse_conv1")(fused)
+            fused = mk(self.features, "fuse_conv2")(fused)
+            return mk(self.features, "fuse_conv3")(fused)
+        if chain_bhcw:
             # NHWC edges: one transpose in per input, one out
             rgb = jnp.transpose(rgb, (0, 1, 3, 2))
             depth = jnp.transpose(depth, (0, 1, 3, 2))
@@ -111,19 +145,24 @@ class NewFusionBlock(nn.Module):
         fused = mk(self.rgb_channels, "fuse_conv1")(fused)
         fused = mk(self.features, "fuse_conv2")(fused)
         fused = mk(self.features, "fuse_conv3")(fused)
-        if chain_bhcw and self.layout == "nhwc":
+        if chain_bhcw:
             fused = jnp.transpose(fused, (0, 1, 3, 2))
         return fused
 
 
-def _downscale_depth(x, factor: int, layout: str):
-    """Bilinear downscale of a 1-channel map in either layout. For one
-    channel, (B, H, 1, W) and (B, H, W, 1) share element order, so the BHCW
-    form is two free reshapes around the NHWC op."""
+def _downscale_depth(x, factor: int, layout: str, wp: int | None = None):
+    """Bilinear downscale of the step-1 dense map. NHWC in/out for 'nhwc';
+    for 'bhcw' the input is the NHWC dense map and the result is a
+    1-channel aligned-form tensor matched to the stage's lane allocation
+    (for one channel, (B,H,1,W) and (B,H,W,1) share element order, so the
+    conversion is a free reshape plus the small 1-channel lane pad)."""
     if layout == "bhcw":
-        b, h, _, w = x.shape
-        y = downscale_bilinear(x.reshape(b, h, w, 1), factor)
-        return y.reshape(y.shape[0], y.shape[1], 1, y.shape[2])
+        from .aligned import AT, ensure_wp, to_aligned
+
+        y = downscale_bilinear(x, factor)
+        b, h, w, _ = y.shape
+        at = to_aligned(y.reshape(b, h, 1, w))
+        return ensure_wp(at, wp) if wp else at
     return downscale_bilinear(x, factor)
 
 
@@ -138,7 +177,11 @@ class FusionResolution0(nn.Module):
 
     @nn.compact
     def __call__(self, rgb, dense_depth):
-        depth = _downscale_depth(dense_depth, self.downsample_factor, self.layout)
+        bhcw = self.layout == "bhcw"
+        depth = _downscale_depth(
+            dense_depth, self.downsample_factor, self.layout,
+            wp=rgb.wp if bhcw else None,
+        )
         fout = NewFusionBlock(
             self.features, self.features, dtype=self.dtype,
             backend=self.backend, layout=self.layout, name="fuse",
@@ -147,6 +190,10 @@ class FusionResolution0(nn.Module):
             dtype=self.dtype, backend=self.backend, layout=self.layout,
             name="conv",
         )(fout)
+        if bhcw:
+            from .aligned import add
+
+            return fout, add(depth, res)
         return fout, depth + res
 
 
@@ -163,11 +210,15 @@ class FusionResolutionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, rgb, dense_depth, prev_fusion, prev_depth, train: bool = False):
+        bhcw = self.layout == "bhcw"
         fout = UpCat(
             self.in_channels, dtype=self.dtype, backend=self.backend,
             fold_bn=self.fold_bn, layout=self.layout, name="upcat"
         )(rgb, prev_fusion, prev_depth, train)
-        depth = _downscale_depth(dense_depth, self.downsample_factor, self.layout)
+        depth = _downscale_depth(
+            dense_depth, self.downsample_factor, self.layout,
+            wp=rgb.wp if bhcw else None,
+        )
         fout = NewFusionBlock(
             self.in_channels, self.features, dtype=self.dtype,
             backend=self.backend, layout=self.layout, name="fuse",
@@ -176,6 +227,10 @@ class FusionResolutionBlock(nn.Module):
             dtype=self.dtype, backend=self.backend, layout=self.layout,
             name="conv",
         )(fout)
+        if bhcw:
+            from .aligned import add
+
+            return fout, add(depth, res)
         return fout, depth + res
 
 
@@ -207,10 +262,12 @@ class GuidedDepthNet(nn.Module):
     fold_bn: bool = False
 
     def setup(self):
+        lay0 = "bhcw" if (self.backend == "pallas" and self.fold_bn) else "nhwc"
         self.step1 = NConvUNet(
             pos_fn=self.step1_pos_fn,
             dtype=self.step1_dtype if self.step1_dtype is not None else self.dtype,
             backend=self.backend,
+            aligned=lay0 == "bhcw",
         )
         # Effective encoder config — the reference defines the stack twice
         # and the second block wins: 3->32 s1, 32->64 s2, 64->64 s2, 64->64 s2
@@ -249,11 +306,27 @@ class GuidedDepthNet(nn.Module):
 
         rgb = jnp.concatenate([rgb0, rgb1], axis=0)
         if bhcw:
+            from .aligned import from_aligned, to_aligned
+
             # single real layout conversion of the graph (3-channel RGB);
-            # the 1-channel dense depth converts by a free reshape
-            rgb = jnp.transpose(rgb, (0, 1, 3, 2))
-            b2, h, w, _ = dense.shape
-            dense = dense.reshape(b2, h, 1, w)
+            # everything downstream runs on aligned-form tensors — the one
+            # entry pad here is the ONLY pad in the whole inference graph
+            rgb_at = to_aligned(jnp.transpose(rgb, (0, 1, 3, 2)), channels=8)
+            r0 = self.rgb_encoder0(rgb_at, train)   # H
+            r1 = self.rgb_encoder1(r0, train)       # H/2
+            r2 = self.rgb_encoder2(r1, train)       # H/4
+            r3 = self.rgb_encoder3(r2, train)       # H/8
+
+            # dense stays NHWC: the per-stage bilinear downscales read it
+            # compactly and re-align their small 1-channel results
+            f0, d0 = self.fuse0(r3, dense)
+            f1, d1 = self.fuse1(r2, dense, f0, d0, train)
+            f2, d2 = self.fuse2(r1, dense, f1, d1, train)
+            _, d3 = self.fuse3(r0, dense, f2, d2, train)
+            to_nhwc = lambda d: from_aligned(d).reshape(
+                d.arr.shape[0], d.h, d.w, 1
+            )
+            return tuple(to_nhwc(d) for d in (d0, d1, d2, d3))
         r0 = self.rgb_encoder0(rgb, train)   # H
         r1 = self.rgb_encoder1(r0, train)    # H/2
         r2 = self.rgb_encoder2(r1, train)    # H/4
@@ -263,10 +336,6 @@ class GuidedDepthNet(nn.Module):
         f1, d1 = self.fuse1(r2, dense, f0, d0, train)
         f2, d2 = self.fuse2(r1, dense, f1, d1, train)
         _, d3 = self.fuse3(r0, dense, f2, d2, train)
-        if bhcw:
-            # free reshapes back to NHWC (1-channel depths)
-            to_nhwc = lambda d: d.reshape(d.shape[0], d.shape[1], d.shape[3], 1)
-            return tuple(to_nhwc(d) for d in (d0, d1, d2, d3))
         return d0, d1, d2, d3
 
     def __call__(self, rgb0, depth0, rgb1, depth1, train: bool = False):

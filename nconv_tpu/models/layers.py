@@ -55,7 +55,13 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, params_only: bool = False):
-        cin = x.shape[-1] if self.layout == "nhwc" else x.shape[2]
+        from .aligned import AT
+
+        aligned = isinstance(x, AT)
+        if aligned:
+            cin = x.logical_c
+        else:
+            cin = x.shape[-1] if self.layout == "nhwc" else x.shape[2]
         k = self.kernel_size
         kernel = self.param(
             "kernel", torch_conv_kernel_init, (k, k, cin, self.features)
@@ -70,6 +76,21 @@ class Conv(nn.Module):
             # RGBEncoder block kernel) — keeps the param tree identical to
             # the unfused form
             return kernel, bias
+        if aligned:
+            # aligned-form inference chain: no XLA pads anywhere (see
+            # ops/pallas_conv.py); halo synthesized in the kernel
+            from ..ops.pallas_conv import conv2d_pallas_bhcw_aligned
+
+            assert self.backend == "pallas" and self.stride == 1
+            is_int = jnp.issubdtype(x.arr.dtype, jnp.integer)
+            dtype = self.dtype or (jnp.float32 if is_int else x.arr.dtype)
+            xin = x.arr if is_int else x.arr.astype(dtype)
+            out, ho, wo = conv2d_pallas_bhcw_aligned(
+                xin, kernel.astype(dtype),
+                None if bias is None else bias,
+                w=x.w, h=x.h, padding=self.padding, relu=self.fuse_relu,
+            )
+            return AT(out, ho, wo)
         is_int = jnp.issubdtype(x.dtype, jnp.integer)
         dtype = self.dtype or (jnp.float32 if is_int else x.dtype)
         # integer (wire-format) inputs pass straight into the pallas kernels,
@@ -125,7 +146,12 @@ class ConvTranspose(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, params_only: bool = False, layout: str = "nhwc"):
-        cin = x.shape[-1] if layout == "nhwc" else x.shape[2]
+        from .aligned import AT
+
+        if isinstance(x, AT):
+            cin = x.logical_c
+        else:
+            cin = x.shape[-1] if layout == "nhwc" else x.shape[2]
         k = self.kernel_size
         kernel = self.param(
             "kernel", torch_conv_kernel_init, (k, k, cin, self.features)
@@ -241,21 +267,26 @@ class Basic2dTrans(nn.Module):
 
     def _phased_bhcw(self, x):
         """Transpose conv as a stride-1 pallas conv with phase-stacked output
-        channels (relu fused) + a depth-to-space interleave; fold_bn only."""
+        channels (relu fused) + a depth-to-space interleave; fold_bn only.
+        Aligned form: the phased conv synthesizes its halo, and the d2s of an
+        aligned array is itself aligned (zeros interleave to zeros)."""
+        from .aligned import AT
         from ..ops.convops import convtranspose_kernel_phases, depth_to_space_bhcw
-        from ..ops.pallas_conv import conv2d_pallas_bhcw
+        from ..ops.pallas_conv import conv2d_pallas_bhcw_aligned
 
         assert self.fold_bn and self.backend == "pallas"
+        assert isinstance(x, AT), "bhcw layout expects aligned-form input"
         kernel, bias = ConvTranspose(
             self.features, use_bias=True, dtype=self.dtype,
         )(x, params_only=True, layout="bhcw")
-        dtype = self.dtype or x.dtype
+        dtype = self.dtype or x.arr.dtype
         kph = convtranspose_kernel_phases(kernel.astype(dtype))
         bias4 = jnp.tile(bias.astype(dtype), 4)
-        out_ph = conv2d_pallas_bhcw(
-            x.astype(dtype), kph, bias4, padding=1, relu=True
+        out_ph, ho, wo = conv2d_pallas_bhcw_aligned(
+            x.arr.astype(dtype), kph, bias4, w=x.w, h=x.h, padding=1,
+            relu=True,
         )
-        return depth_to_space_bhcw(out_ph, self.features)
+        return AT(depth_to_space_bhcw(out_ph, self.features), 2 * ho, 2 * wo)
 
 
 class RGBEncoder(nn.Module):
@@ -303,14 +334,20 @@ class RGBEncoder(nn.Module):
         return out + shortcut
 
     def _fused_bhcw(self, x):
+        """Aligned-form fused block (see models/aligned.py): one kernel for
+        the whole residual stage, no XLA pads; stride 2 goes through a
+        canvas-free space-to-depth whose halo the consumer kernel
+        synthesizes (ops/convops.py conv_kernel_s2d_aligned)."""
+        from .aligned import AT, realign
         from ..ops.convops import (
-            conv_kernel_s2d,
-            shortcut_kernel_s2d,
-            space_to_depth_bhcw,
+            conv_kernel_s2d_aligned,
+            shortcut_kernel_s2d_aligned,
+            space_to_depth_aligned,
         )
-        from ..ops.pallas_conv import conv2d_pallas_bhcw
+        from ..ops.pallas_conv import conv2d_pallas_bhcw_aligned
 
         assert self.fold_bn and self.backend == "pallas"
+        assert isinstance(x, AT), "bhcw layout expects aligned-form input"
         # same submodule order as the unfused path -> identical param tree
         k_main, b_main = Conv(
             self.features, stride=self.stride, dtype=self.dtype,
@@ -322,8 +359,14 @@ class RGBEncoder(nn.Module):
             layout="bhcw",
         )(x, params_only=True)
 
-        is_int = jnp.issubdtype(x.dtype, jnp.integer)
-        dtype = self.dtype or (jnp.float32 if is_int else x.dtype)
+        is_int = jnp.issubdtype(x.arr.dtype, jnp.integer)
+        dtype = self.dtype or (jnp.float32 if is_int else x.arr.dtype)
+        # zero-extend kernels over the input's granule-padded channel tail
+        cpad = x.channels - x.logical_c
+        if cpad:
+            zk = ((0, 0), (0, 0), (0, cpad), (0, 0))
+            k_main = jnp.pad(k_main, zk)
+            k_short = jnp.pad(k_short, zk)
         k_main = k_main.astype(dtype)
         k_short = k_short.astype(dtype)
         b_main = b_main.astype(dtype)
@@ -331,21 +374,24 @@ class RGBEncoder(nn.Module):
             # embed the 1x1 shortcut at the 3x3 center tap
             k_sh3 = jnp.zeros_like(k_main).at[1, 1].set(k_short[0, 0])
             kcat = jnp.concatenate([k_main, k_sh3], -1)
-            xin = x if is_int else x.astype(dtype)
-            return conv2d_pallas_bhcw(
-                xin, kcat, b_main, padding=1,
+            xin = x.arr if is_int else x.arr.astype(dtype)
+            out, ho, wo = conv2d_pallas_bhcw_aligned(
+                xin, kcat, b_main, w=x.w, h=x.h, padding=1,
                 residual_channels=self.features,
             )
+            return AT(out, ho, wo)
         assert self.stride == 2
-        xin = x.astype(dtype)  # s2d re-layout happens in XLA: decode first
-        s2d = space_to_depth_bhcw(xin, pad=1)
-        km = conv_kernel_s2d(k_main)  # (2, 2, 4cin, f)
-        ks = shortcut_kernel_s2d(k_short, pad=1)  # (1, 1, 4cin, f)
-        ks2 = jnp.zeros_like(km).at[0, 0].set(ks[0, 0])
-        kcat = jnp.concatenate([km, ks2], -1)
-        return conv2d_pallas_bhcw(
-            s2d, kcat, b_main, padding=0, residual_channels=self.features,
+        xin = x.arr.astype(dtype)  # s2d re-layout happens in XLA: decode first
+        s2d = realign(AT(space_to_depth_aligned(xin), x.h // 2, x.w // 2))
+        km = conv_kernel_s2d_aligned(k_main)  # (2, 2, 4cin, f)
+        ks = shortcut_kernel_s2d_aligned(k_short)
+        kcat = jnp.concatenate([km, ks], -1)
+        out, ho, wo = conv2d_pallas_bhcw_aligned(
+            s2d.arr, kcat, b_main, w=s2d.w, h=s2d.h,
+            pad_top=1, pad_bottom=0, pad_left=1, pad_right=0,
+            residual_channels=self.features,
         )
+        return AT(out, ho, wo)
 
 
 class Conv3x3Head(nn.Module):

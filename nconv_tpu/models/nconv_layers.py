@@ -42,8 +42,14 @@ class NConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, data, conf):
-        ch_axis = 2 if self.layout == "bhcw" else -1
-        cin = data.shape[ch_axis]
+        from .aligned import AT
+
+        aligned = isinstance(data, AT)
+        if aligned:
+            cin = data.logical_c
+        else:
+            ch_axis = 2 if self.layout == "bhcw" else -1
+            cin = data.shape[ch_axis]
         k = self.kernel_size
         kernel = self.param(
             "kernel", INIT_FNS[self.init_method], (k, k, cin, self.features)
@@ -51,6 +57,21 @@ class NConv2d(nn.Module):
         bias = self.param(
             "bias", nn.initializers.constant(self.bias_value), (self.features,)
         )
+        if aligned:
+            # aligned-form inference chain — no XLA pads (ops/pallas_nconv_mxu)
+            from ..ops.pallas_nconv_mxu import nconv2d_pallas_aligned
+
+            assert self.backend == "pallas" and self.stride == 1
+            dtype = self.dtype or data.arr.dtype
+            out, carr, ho, wo = nconv2d_pallas_aligned(
+                data.arr.astype(dtype),
+                conf.arr.astype(dtype),
+                kernel.astype(dtype),
+                bias.astype(dtype),
+                w=data.w, h=data.h, padding=self.padding,
+                pos_fn=self.pos_fn, eps=self.eps,
+            )
+            return AT(out, ho, wo), AT(carr, ho, wo)
         dtype = self.dtype or data.dtype
         if self.layout == "bhcw":
             from ..ops.pallas_nconv_mxu import nconv2d_pallas_mxu_bhcw

@@ -39,6 +39,11 @@ class NConvUNet(nn.Module):
     pos_fn: str = "softplus"
     dtype: Any = None
     backend: str = "xla"  # 'pallas' = fused (B,H,C,W) kernels for the hot path
+    # aligned-form inference graph (pallas only): every inter-layer tensor
+    # is (B, H, C, Wp) with zeros outside the data region, and NO XLA pad is
+    # issued anywhere (kernels synthesize halos; see models/aligned.py).
+    # Inference-only: this path bypasses the custom-VJP entry points.
+    aligned: bool = False
 
     @nn.compact
     def __call__(self, sparse):
@@ -71,6 +76,8 @@ class NConvUNet(nn.Module):
 
         b = sparse.shape[0]
         h, w = sparse.shape[1:3]
+        if bhcw and self.aligned:
+            return self._aligned_graph(sparse, mk, b, h, w)
         x0 = sparse.reshape(b, h, 1, w) if bhcw else sparse
         c0 = (x0 > CONF_THRESHOLD).astype(sparse.dtype)
 
@@ -127,6 +134,55 @@ class NConvUNet(nn.Module):
             cout = cout[:, 1 : h + 1, :, 1 : w + 1].reshape(b, h, w, 1)
             return xout, cout
         return xout[:, 1 : h + 1, 1 : w + 1, :], cout[:, 1 : h + 1, 1 : w + 1, :]
+
+    def _aligned_graph(self, sparse, mk, b: int, h: int, w: int):
+        """Aligned-form body: identical math and param tree to the bhcw
+        path, but every inter-layer tensor is aligned-form and the graph
+        contains exactly ONE pad (the 1-channel entry) and one crop."""
+        from .aligned import AT, concat_c, ensure_wp, realign, to_aligned
+
+        c = self.num_channels
+        x0 = to_aligned(sparse.reshape(b, h, 1, w), channels=4)
+        c0 = AT(
+            (x0.arr > CONF_THRESHOLD).astype(sparse.dtype), h, w, x0.c
+        )
+
+        x1, c1 = mk(c, 5, 2, name="nconv1")(x0, c0)
+        x1, c1 = mk(c, 5, 2, name="nconv2")(x1, c1)
+
+        def pool(x, cc):
+            xp, cp = max_pool_pair(x.arr, cc.arr, layout="bhcw")
+            return (
+                realign(AT(xp, x.h // 2, x.w // 2)),
+                realign(AT(cp, x.h // 2, x.w // 2)),
+            )
+
+        def up2(t, ref):
+            arr = jnp.repeat(jnp.repeat(t.arr, 2, axis=1), 2, axis=3)
+            return ensure_wp(AT(arr, 2 * t.h, 2 * t.w, t.c), ref.wp)
+
+        x1d, c1d = pool(x1, c1)
+        x2, c2 = mk(c, 5, 2, name="nconv_down1")(x1d, c1d)
+        x2d, c2d = pool(x2, c2)
+        x3, c3 = mk(c, 5, 2, name="nconv_down2")(x2d, c2d)
+        x3d, c3d = pool(x3, c3)
+        x4, c4 = mk(c, 5, 2, name="nconv_down3")(x3d, c3d)
+
+        x34, c34 = mk(c, 3, 1, name="nconv4")(
+            concat_c([x3, up2(x4, x3)]), concat_c([c3, up2(c4, c3)])
+        )
+        x23, c23 = mk(c, 3, 1, name="nconv5")(
+            concat_c([x2, up2(x34, x2)]), concat_c([c2, up2(c34, c2)])
+        )
+        xout, cout = mk(c, 3, 0, name="nconv6")(
+            concat_c([up2(x23, x1), x1]), concat_c([up2(c23, c1), c1])
+        )  # (H-2, W-2)
+        xout, cout = mk(1, 1, 2, init="k", name="nconv7")(xout, cout)
+
+        # Center-recover the input size: [1:H+1, 1:W+1] (one small 1-ch crop)
+        dense = xout.arr[:, 1 : h + 1, :, 1 : w + 1].reshape(b, h, w, 1)
+        conf = cout.arr[:, 1 : h + 1, :, 1 : w + 1].reshape(b, h, w, 1)
+        return dense, conf
 
 
 class Step1Unguided(nn.Module):

@@ -296,10 +296,12 @@ def _conv_core(
         )
     th = min(_round_up(tile_h, g), _round_up(h_out, g))
     if aligned_out:
-        # exact tiling (no overhang rows to mask / slice off): largest
-        # multiple-of-g divisor of h_out not exceeding the VMEM-fit tile
-        for cand in range(th, 0, -1):
-            if h_out % cand == 0 and cand % g == 0:
+        # exact tiling (no overhang rows to mask): largest multiple-of-g
+        # divisor of h_out near the VMEM-fit tile; if h_out has no good
+        # divisor (e.g. 354 = 2*3*59) keep the overhang and mask it
+        for cand in range(th, max(th // 2, 7), -1):
+            # even tiles so downstream space-to-depth gets an even row count
+            if h_out % cand == 0 and cand % g == 0 and cand % 2 == 0:
                 th = cand
                 break
     n_tiles = -(-h_out // th)
@@ -326,7 +328,7 @@ def _conv_core(
         kfun,
         grid=(n_total,),  # flattened (batch, H-tile) for cross-step prefetch
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # aligned input, HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # aligned input, HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -370,6 +372,12 @@ def conv2d_pallas_bhcw_aligned(
     not differentiable (training uses :func:`conv2d_pallas_bhcw`).
     """
     kh, kw, cin, _ = kernel.shape
+    if x.shape[2] > cin:
+        # input channels are granule-padded past the kernel's: extend the
+        # kernel with zero taps (exact — padded channels contribute nothing)
+        kernel = jnp.pad(
+            kernel, ((0, 0), (0, 0), (0, x.shape[2] - cin), (0, 0))
+        )
     pt = padding if pad_top is None else pad_top
     pb = pt if pad_bottom is None else pad_bottom
     pl_ = padding if pad_left is None else pad_left

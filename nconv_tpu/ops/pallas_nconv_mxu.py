@@ -46,7 +46,7 @@ def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
             sem_d, sem_c, *, kh: int, kw: int, cin_pad: int, cout: int,
             th: int, w_out: int, wp_out: int, eps: float, n_tiles: int,
             n_total: int, pad_top: int, pad_left: int, h_in: int,
-            h_out: int, wp_in: int, aligned_out: bool):
+            h_out: int, wp_in: int, aligned_out: bool, g: int):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
     d_hbm/c_hbm: (B, Hx, cin_pad, wp_in) aligned-form data / confidence in
@@ -135,7 +135,7 @@ def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
 
     f32 = jnp.float32
     cin2 = 2 * cin_pad
-    k_rows = kh * cin2
+    k_rows = (kh + g - 1) * cin2
     wp_s = xs.shape[-1]
     bias_col = bias_ref[:, :]
     wsum_col = wsum_ref[:, :]
@@ -143,9 +143,13 @@ def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
     if mask_lanes:
         lane_ok = lax.broadcasted_iota(jnp.int32, (1, wp_out), 1) < w_out
 
-    def row(h, _):
-        a = xs[slot, pl.ds(h, kh)].reshape(k_rows, wp_s)
-        acc = jnp.zeros((2 * cout, wp_out), f32)
+    # G output rows per block-Toeplitz matmul: at 8-channel widths a single
+    # row's matmul is (16, kh*2cin) — 12% of the MXU's M dimension; grouping
+    # rows stacks g*2cout into M (measured ~2x on the full-res 5x5 layers)
+    def group(i, _):
+        h0 = i * g
+        a = xs[slot, pl.ds(h0, kh + g - 1)].reshape(k_rows, wp_s)
+        acc = jnp.zeros((g * 2 * cout, wp_out), f32)
         for dx in range(kw):
             off = FRONT - pad_left + dx
             acc += lax.dot_general(
@@ -154,18 +158,28 @@ def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
-        nomin = acc[:cout]
-        denom = acc[cout:]
-        out = nomin / (denom + eps) + bias_col
-        cnf = denom / wsum_col
-        if mask_lanes:
-            out = jnp.where(lane_ok, out, 0.0)
-            cnf = jnp.where(lane_ok, cnf, 0.0)
-        out_ref[0, h] = out.astype(out_ref.dtype)
-        cout_ref[0, h] = cnf.astype(cout_ref.dtype)
+        outs, cnfs = [], []
+        for r in range(g):
+            nomin = acc[r * 2 * cout : r * 2 * cout + cout]
+            denom = acc[r * 2 * cout + cout : (r + 1) * 2 * cout]
+            out = nomin / (denom + eps) + bias_col
+            cnf = denom / wsum_col
+            if mask_lanes:
+                out = jnp.where(lane_ok, out, 0.0)
+                cnf = jnp.where(lane_ok, cnf, 0.0)
+            outs.append(out)
+            cnfs.append(cnf)
+        out_g = jnp.concatenate(outs, 0) if g > 1 else outs[0]
+        cnf_g = jnp.concatenate(cnfs, 0) if g > 1 else cnfs[0]
+        out_ref[0, pl.ds(h0, g)] = out_g.reshape(g, cout, wp_out).astype(
+            out_ref.dtype
+        )
+        cout_ref[0, pl.ds(h0, g)] = cnf_g.reshape(g, cout, wp_out).astype(
+            cout_ref.dtype
+        )
         return 0
 
-    lax.fori_loop(0, th, row, 0)
+    lax.fori_loop(0, th // g, group, 0)
 
     overhang = n_tiles * th - h_out
     if overhang and aligned_out:
@@ -176,11 +190,15 @@ def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
             cout_ref[0, cut:] = jnp.zeros_like(cout_ref[0, cut:])
 
 
-def build_tap_matrices(w_pos: jax.Array, cin_pad: int) -> tuple[jax.Array, jax.Array]:
+def build_tap_matrices(
+    w_pos: jax.Array, cin_pad: int, g: int = 1
+) -> tuple[jax.Array, jax.Array]:
     """HWIO non-negative kernel -> (w2, wsum).
 
     A-row ordering is (dy, half, ci) with halves [dc ; c] each ``cin_pad``
-    channels (zero-padded past the real cin). w2[dx]: (2*Cout, kh*2*cin_pad)
+    channels (zero-padded past the real cin). w2[dx]:
+    (g*2*Cout, (kh+g-1)*2*cin_pad) block-Toeplitz over the row group — row
+    group r contracts the same taps shifted r rows into the input window —
     with nomin rows contracting the dc half and denom rows the c half.
     """
     kh, kw, cin, cout = w_pos.shape
@@ -191,7 +209,14 @@ def build_tap_matrices(w_pos: jax.Array, cin_pad: int) -> tuple[jax.Array, jax.A
     nomin = jnp.stack([w_t, zeros], axis=3)  # (kw, cout, kh, 2, cin_pad)
     denom = jnp.stack([zeros, w_t], axis=3)
     w2 = jnp.concatenate([nomin, denom], axis=1)  # (kw, 2cout, kh, 2, cin_pad)
-    w2 = w2.reshape(kw, 2 * cout, kh * 2 * cin_pad)
+    w2 = jnp.stack(
+        [
+            jnp.pad(w2, ((0, 0), (0, 0), (r, g - 1 - r), (0, 0), (0, 0)))
+            for r in range(g)
+        ],
+        axis=1,
+    )  # (kw, g, 2cout, kh+g-1, 2, cin_pad)
+    w2 = w2.reshape(kw, g * 2 * cout, (kh + g - 1) * 2 * cin_pad)
     wsum = jnp.sum(w_pos, axis=(0, 1, 2))
     return w2, wsum
 
@@ -208,7 +233,10 @@ def _nconv_core(
     b, hx, cin_in, wp_in = data.shape
     assert cin_in == cin and cin % 4 == 0, (cin_in, cin)
     assert conf.shape == data.shape
-    w2, wsum = build_tap_matrices(w_pos, cin)
+    from .pallas_conv import auto_row_group
+
+    g = auto_row_group(kh, 2 * cin, 2 * cout)
+    w2, wsum = build_tap_matrices(w_pos, cin, g)
 
     itemsize = jnp.dtype(data.dtype).itemsize
     wp_s = wp_in + 2 * FRONT
@@ -218,10 +246,12 @@ def _nconv_core(
             2 * cout * wp_out * itemsize,  # two outputs (depth + confidence)
             kh, h_out,
         )
-    th = min(tile_h, h_out)
+    th = min(_round_up(tile_h, g), _round_up(h_out, g))
     if aligned_out:
-        for cand in range(th, 0, -1):
-            if h_out % cand == 0:
+        # exact tiling when h_out has a divisor near the VMEM-fit tile;
+        # otherwise keep the overhang and mask it
+        for cand in range(th, max(th // 2, 7), -1):
+            if h_out % cand == 0 and cand % g == 0:
                 th = cand
                 break
     n_tiles = -(-h_out // th)
@@ -231,7 +261,7 @@ def _nconv_core(
         _kernel, kh=kh, kw=kw, cin_pad=cin, cout=cout, th=th,
         w_out=w_out, wp_out=wp_out, eps=eps, n_tiles=n_tiles,
         n_total=n_total, pad_top=pad_top, pad_left=pad_left, h_in=h_in,
-        h_out=h_out, wp_in=wp_in, aligned_out=aligned_out,
+        h_out=h_out, wp_in=wp_in, aligned_out=aligned_out, g=g,
     )
     block_out = pl.BlockSpec(
         (1, th, cout, wp_out), lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
@@ -243,8 +273,8 @@ def _nconv_core(
         kfun,
         grid=(n_total,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # aligned data, HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # aligned conf, HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # aligned data, HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # aligned conf, HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -285,6 +315,12 @@ def nconv2d_pallas_aligned(
     h_out = h_in + 2 * p - (kh - 1)
     w_out = w + 2 * p - (kw - 1)
     w_pos = POS_FNS[pos_fn](kernel)
+    if data.shape[2] > cin:
+        # input channels granule-padded past the kernel's: zero taps for
+        # them (after pos_fn — softplus(0) != 0, the pad must be exact)
+        w_pos = jnp.pad(
+            w_pos, ((0, 0), (0, 0), (0, data.shape[2] - cin), (0, 0))
+        )
     out, carr = _nconv_core(
         data, conf, w_pos, bias,
         pad_top=p, pad_left=p, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
