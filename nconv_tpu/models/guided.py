@@ -68,10 +68,11 @@ class UpCat(nn.Module):
     @nn.compact
     def __call__(self, rgb_skip, fusion, depth, train: bool = False):
         if self.layout == "bhcw":
-            from .aligned import concat_c, ensure_wp
+            from .aligned import concat_c
 
-            # [depth ‖ fusion] with a zero-channel tail to the sublane
-            # granule (logical channels stay 1 + C for the param tree)
+            # [depth ‖ fusion] is one small concat (the 1-channel depth
+            # cannot be a separate DMA slab — sub-granule offsets); the big
+            # [fout ‖ rgb_skip] concat feeds the multi-input kernel directly
             cat = concat_c(
                 [depth, fusion],
                 zero_tail=-(1 + fusion.logical_c) % 8,
@@ -80,11 +81,10 @@ class UpCat(nn.Module):
                 self.features, dtype=self.dtype, backend=self.backend,
                 fold_bn=self.fold_bn, layout=self.layout, name="upf"
             )(cat, train)
-            fout = ensure_wp(fout, rgb_skip.wp)
             return Basic2d(
                 self.features, dtype=self.dtype, backend=self.backend,
                 fold_bn=self.fold_bn, layout=self.layout, name="conv"
-            )(concat_c([fout, rgb_skip]), train)
+            )([fout, rgb_skip], train)
         fout = Basic2dTrans(
             self.features, dtype=self.dtype, backend=self.backend,
             fold_bn=self.fold_bn, layout=self.layout, name="upf"
@@ -118,9 +118,11 @@ class NewFusionBlock(nn.Module):
             name=name,
         )
         if self.layout == "bhcw":
-            # aligned-form chain: rgb/depth are ATs; the 1-channel depth is
-            # zero-extended to the sublane granule (kernel extends to match)
-            from .aligned import AT, concat_c
+            # aligned-form chain: rgb/depth are ATs; the rgb‖depth feature
+            # concat feeds the multi-input kernel directly (no HBM concat).
+            # The 1-channel depth is granule-padded (Mosaic rejects
+            # sub-tile channel DMA slabs).
+            from .aligned import AT
 
             d8 = AT(
                 jnp.pad(depth.arr, ((0, 0), (0, 0), (0, 8 - depth.channels),
@@ -130,8 +132,7 @@ class NewFusionBlock(nn.Module):
             )
             rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
             depth_feat = mk(self.rgb_channels, "depth_conv")(d8)
-            fused = concat_c([rgb_feat, depth_feat])
-            fused = mk(self.rgb_channels, "fuse_conv1")(fused)
+            fused = mk(self.rgb_channels, "fuse_conv1")([rgb_feat, depth_feat])
             fused = mk(self.features, "fuse_conv2")(fused)
             return mk(self.features, "fuse_conv3")(fused)
         if chain_bhcw:

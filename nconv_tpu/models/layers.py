@@ -57,9 +57,15 @@ class Conv(nn.Module):
     def __call__(self, x, *, params_only: bool = False):
         from .aligned import AT
 
-        aligned = isinstance(x, AT)
+        # x may be an AT, a list of ATs (logical channel concat fed to the
+        # multi-input kernel — no HBM concat), or a plain array
+        parts = (
+            [x] if isinstance(x, AT) else
+            list(x) if isinstance(x, (list, tuple)) else None
+        )
+        aligned = parts is not None
         if aligned:
-            cin = x.logical_c
+            cin = sum(p.logical_c for p in parts)
         else:
             cin = x.shape[-1] if self.layout == "nhwc" else x.shape[2]
         k = self.kernel_size
@@ -79,16 +85,21 @@ class Conv(nn.Module):
         if aligned:
             # aligned-form inference chain: no XLA pads anywhere (see
             # ops/pallas_conv.py); halo synthesized in the kernel
+            from .aligned import _match_rows
             from ..ops.pallas_conv import conv2d_pallas_bhcw_aligned
 
             assert self.backend == "pallas" and self.stride == 1
-            is_int = jnp.issubdtype(x.arr.dtype, jnp.integer)
-            dtype = self.dtype or (jnp.float32 if is_int else x.arr.dtype)
-            xin = x.arr if is_int else x.arr.astype(dtype)
+            parts = _match_rows(parts)
+            is_int = jnp.issubdtype(parts[0].arr.dtype, jnp.integer)
+            dtype = self.dtype or (jnp.float32 if is_int else parts[0].arr.dtype)
+            xin = [
+                p.arr if is_int else p.arr.astype(dtype) for p in parts
+            ]
             out, ho, wo = conv2d_pallas_bhcw_aligned(
                 xin, kernel.astype(dtype),
                 None if bias is None else bias,
-                w=x.w, h=x.h, padding=self.padding, relu=self.fuse_relu,
+                w=parts[0].w, h=parts[0].h, padding=self.padding,
+                relu=self.fuse_relu,
             )
             return AT(out, ho, wo)
         is_int = jnp.issubdtype(x.dtype, jnp.integer)
@@ -150,6 +161,8 @@ class ConvTranspose(nn.Module):
 
         if isinstance(x, AT):
             cin = x.logical_c
+        elif isinstance(x, (list, tuple)):
+            cin = sum(p.logical_c for p in x)
         else:
             cin = x.shape[-1] if layout == "nhwc" else x.shape[2]
         k = self.kernel_size
@@ -270,21 +283,23 @@ class Basic2dTrans(nn.Module):
         channels (relu fused) + a depth-to-space interleave; fold_bn only.
         Aligned form: the phased conv synthesizes its halo, and the d2s of an
         aligned array is itself aligned (zeros interleave to zeros)."""
-        from .aligned import AT
+        from .aligned import AT, _match_rows
         from ..ops.convops import convtranspose_kernel_phases, depth_to_space_bhcw
         from ..ops.pallas_conv import conv2d_pallas_bhcw_aligned
 
         assert self.fold_bn and self.backend == "pallas"
-        assert isinstance(x, AT), "bhcw layout expects aligned-form input"
+        parts = [x] if isinstance(x, AT) else list(x)
+        parts = _match_rows(parts)
         kernel, bias = ConvTranspose(
             self.features, use_bias=True, dtype=self.dtype,
-        )(x, params_only=True, layout="bhcw")
-        dtype = self.dtype or x.arr.dtype
+        )(parts if len(parts) > 1 else parts[0], params_only=True,
+          layout="bhcw")
+        dtype = self.dtype or parts[0].arr.dtype
         kph = convtranspose_kernel_phases(kernel.astype(dtype))
         bias4 = jnp.tile(bias.astype(dtype), 4)
         out_ph, ho, wo = conv2d_pallas_bhcw_aligned(
-            x.arr.astype(dtype), kph, bias4, w=x.w, h=x.h, padding=1,
-            relu=True,
+            [p.arr.astype(dtype) for p in parts], kph, bias4,
+            w=parts[0].w, h=parts[0].h, padding=1, relu=True,
         )
         return AT(depth_to_space_bhcw(out_ph, self.features), 2 * ho, 2 * wo)
 
@@ -342,7 +357,7 @@ class RGBEncoder(nn.Module):
         from ..ops.convops import (
             conv_kernel_s2d_aligned,
             shortcut_kernel_s2d_aligned,
-            space_to_depth_aligned,
+            space_to_depth_aligned_parts,
         )
         from ..ops.pallas_conv import conv2d_pallas_bhcw_aligned
 
@@ -382,13 +397,16 @@ class RGBEncoder(nn.Module):
             return AT(out, ho, wo)
         assert self.stride == 2
         xin = x.arr.astype(dtype)  # s2d re-layout happens in XLA: decode first
-        s2d = realign(AT(space_to_depth_aligned(xin), x.h // 2, x.w // 2))
+        phases = [
+            realign(AT(p, x.h // 2, x.w // 2))
+            for p in space_to_depth_aligned_parts(xin)
+        ]
         km = conv_kernel_s2d_aligned(k_main)  # (2, 2, 4cin, f)
         ks = shortcut_kernel_s2d_aligned(k_short)
         kcat = jnp.concatenate([km, ks], -1)
         out, ho, wo = conv2d_pallas_bhcw_aligned(
-            s2d.arr, kcat, b_main, w=s2d.w, h=s2d.h,
-            pad_top=1, pad_bottom=0, pad_left=1, pad_right=0,
+            [p.arr for p in phases], kcat, b_main, w=phases[0].w,
+            h=phases[0].h, pad_top=1, pad_bottom=0, pad_left=1, pad_right=0,
             residual_channels=self.features,
         )
         return AT(out, ho, wo)

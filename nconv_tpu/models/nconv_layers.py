@@ -44,9 +44,15 @@ class NConv2d(nn.Module):
     def __call__(self, data, conf):
         from .aligned import AT
 
-        aligned = isinstance(data, AT)
+        # data/conf may be ATs or parallel lists of ATs (logical channel
+        # concat fed to the multi-input kernel — no HBM concat)
+        d_parts = (
+            [data] if isinstance(data, AT) else
+            list(data) if isinstance(data, (list, tuple)) else None
+        )
+        aligned = d_parts is not None
         if aligned:
-            cin = data.logical_c
+            cin = sum(p.logical_c for p in d_parts)
         else:
             ch_axis = 2 if self.layout == "bhcw" else -1
             cin = data.shape[ch_axis]
@@ -59,16 +65,20 @@ class NConv2d(nn.Module):
         )
         if aligned:
             # aligned-form inference chain — no XLA pads (ops/pallas_nconv_mxu)
+            from .aligned import _match_rows
             from ..ops.pallas_nconv_mxu import nconv2d_pallas_aligned
 
             assert self.backend == "pallas" and self.stride == 1
-            dtype = self.dtype or data.arr.dtype
+            c_parts = [conf] if isinstance(conf, AT) else list(conf)
+            both = _match_rows(d_parts + c_parts)
+            d_parts, c_parts = both[: len(d_parts)], both[len(d_parts) :]
+            dtype = self.dtype or d_parts[0].arr.dtype
             out, carr, ho, wo = nconv2d_pallas_aligned(
-                data.arr.astype(dtype),
-                conf.arr.astype(dtype),
+                [p.arr.astype(dtype) for p in d_parts],
+                [p.arr.astype(dtype) for p in c_parts],
                 kernel.astype(dtype),
                 bias.astype(dtype),
-                w=data.w, h=data.h, padding=self.padding,
+                w=d_parts[0].w, h=d_parts[0].h, padding=self.padding,
                 pos_fn=self.pos_fn, eps=self.eps,
             )
             return AT(out, ho, wo), AT(carr, ho, wo)

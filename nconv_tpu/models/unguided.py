@@ -139,13 +139,13 @@ class NConvUNet(nn.Module):
         """Aligned-form body: identical math and param tree to the bhcw
         path, but every inter-layer tensor is aligned-form and the graph
         contains exactly ONE pad (the 1-channel entry) and one crop."""
-        from .aligned import AT, concat_c, ensure_wp, realign, to_aligned
+        from .aligned import AT, realign, to_aligned
 
         c = self.num_channels
+        # channels padded to the granule: Mosaic DMA slabs on the sublane
+        # dim must be tile-aligned (a 1-channel slab is rejected)
         x0 = to_aligned(sparse.reshape(b, h, 1, w), channels=4)
-        c0 = AT(
-            (x0.arr > CONF_THRESHOLD).astype(sparse.dtype), h, w, x0.c
-        )
+        c0 = AT((x0.arr > CONF_THRESHOLD).astype(sparse.dtype), h, w, x0.c)
 
         x1, c1 = mk(c, 5, 2, name="nconv1")(x0, c0)
         x1, c1 = mk(c, 5, 2, name="nconv2")(x1, c1)
@@ -158,8 +158,11 @@ class NConvUNet(nn.Module):
             )
 
         def up2(t, ref):
+            # ref fixes the grid; the lane allocation can differ from the
+            # skip's (the multi-input kernel takes per-part lane widths)
+            assert (2 * t.h, 2 * t.w) == (ref.h, ref.w), (t, ref.h, ref.w)
             arr = jnp.repeat(jnp.repeat(t.arr, 2, axis=1), 2, axis=3)
-            return ensure_wp(AT(arr, 2 * t.h, 2 * t.w, t.c), ref.wp)
+            return AT(arr, 2 * t.h, 2 * t.w, t.c)
 
         x1d, c1d = pool(x1, c1)
         x2, c2 = mk(c, 5, 2, name="nconv_down1")(x1d, c1d)
@@ -168,14 +171,16 @@ class NConvUNet(nn.Module):
         x3d, c3d = pool(x3, c3)
         x4, c4 = mk(c, 5, 2, name="nconv_down3")(x3d, c3d)
 
+        # decoder concats feed the multi-input kernel as separate parts —
+        # no (x ‖ skip) concat ever materializes in HBM
         x34, c34 = mk(c, 3, 1, name="nconv4")(
-            concat_c([x3, up2(x4, x3)]), concat_c([c3, up2(c4, c3)])
+            [x3, up2(x4, x3)], [c3, up2(c4, c3)]
         )
         x23, c23 = mk(c, 3, 1, name="nconv5")(
-            concat_c([x2, up2(x34, x2)]), concat_c([c2, up2(c34, c2)])
+            [x2, up2(x34, x2)], [c2, up2(c34, c2)]
         )
         xout, cout = mk(c, 3, 0, name="nconv6")(
-            concat_c([up2(x23, x1), x1]), concat_c([up2(c23, c1), c1])
+            [up2(x23, x1), x1], [up2(c23, c1), c1]
         )  # (H-2, W-2)
         xout, cout = mk(1, 1, 2, init="k", name="nconv7")(xout, cout)
 

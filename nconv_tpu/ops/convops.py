@@ -193,6 +193,17 @@ def space_to_depth_aligned(x: jax.Array) -> jax.Array:
     )
 
 
+def space_to_depth_aligned_parts(x: jax.Array) -> list[jax.Array]:
+    """Like :func:`space_to_depth_aligned` but returns the four phase
+    planes separately (py, px order) so a multi-input kernel can DMA them
+    into adjacent channel slabs — the 4-way channel concat (XLA lowers it
+    as one full-size pad + combine per operand) never materializes."""
+    b, h, c, wp = x.shape
+    assert h % 2 == 0 and wp % 2 == 0, (h, wp)
+    top, bot = x[:, 0::2], x[:, 1::2]
+    return [top[..., 0::2], top[..., 1::2], bot[..., 0::2], bot[..., 1::2]]
+
+
 def conv_kernel_s2d_aligned(kernel: jax.Array) -> jax.Array:
     """3x3 stride-2 pad-1 HWIO kernel -> the 2x2-tap stride-1 kernel over an
     *aligned* (canvas-free) space-to-depth input.

@@ -91,21 +91,31 @@ def _tile_windows(n_tiles: int, th: int, kh: int, pad_top: int, h_in: int):
     return wins
 
 
-def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
+def _kernel(*refs, kh: int, kw: int,
             cin_p: int, cout: int, cout_store: int, th: int,
             w_out: int, wp_out: int, relu: bool, use_bias: bool, g: int,
             residual: bool, n_tiles: int, n_total: int, pad_top: int,
-            pad_left: int, h_in: int, h_out: int, wp_in: int,
-            aligned_out: bool):
+            pad_left: int, h_in: int, h_out: int, part_cs: tuple,
+            part_wps: tuple, aligned_out: bool):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
+    The input may be SEVERAL aligned-form HBM refs (a logical channel
+    concat): each part is DMA'd into its channel slab of the shared scratch
+    window, so channel concatenations never materialize in HBM at all (XLA
+    lowers a concat as one pad + combine per operand — ~116 MB each for the
+    full-resolution fusion stages).
+
     Halo load: BlockSpec index maps cannot express overlapping H-tiles, so
-    the input stays in HBM and each grid step DMAs its (th + kh - 1)-row
+    the inputs stay in HBM and each grid step DMAs its (th + kh - 1)-row
     window (clamped to real rows) into VMEM scratch, double-buffered across
-    grid steps: step i starts the DMA for step i+1 into the other slot
+    grid steps: step i starts the DMAs for step i+1 into the other slot
     before waiting on its own, so the next tile's transfer overlaps this
     tile's matmuls.
     """
+    n_parts = len(part_cs)
+    x_hbms = refs[:n_parts]
+    w2_ref, bias_ref, out_ref, xs, sem = refs[n_parts:]
+    coffs = [sum(part_cs[:i]) for i in range(n_parts)]
     idx = pl.program_id(0)
     rows_full = th + kh - 1
     wins = _tile_windows(n_tiles, th, kh, pad_top, h_in)
@@ -123,23 +133,24 @@ def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
 
             @pl.when(cond)
             def _go(off=off, size=size):
-                cp = pltpu.make_async_copy(
-                    x_hbm.at[bi, pl.ds(jnp.maximum(t * th - pad_top, 0), size)],
-                    xs.at[slot, pl.ds(off, size), :, pl.ds(FRONT, wp_in)],
-                    sem.at[slot],
-                )
-                cp.start() if action == "start" else cp.wait()
+                src = pl.ds(jnp.maximum(t * th - pad_top, 0), size)
+                for i in range(n_parts):
+                    cp = pltpu.make_async_copy(
+                        x_hbms[i].at[bi, src],
+                        xs.at[slot, pl.ds(off, size),
+                              pl.ds(coffs[i], part_cs[i]),
+                              pl.ds(FRONT, part_wps[i])],
+                        sem.at[slot, i],
+                    )
+                    cp.start() if action == "start" else cp.wait()
 
     @pl.when(idx == 0)
-    def _zero_margins():
-        # one-time: lane margins outside the DMA'd window stay zero for the
-        # whole (sequential) grid — they provide the synthetic left halo and
-        # the tail slack the tap slices read past wp_in
-        for s in (0, 1):
-            xs[s, :, :, 0:FRONT] = jnp.zeros_like(xs[s, :, :, 0:FRONT])
-            xs[s, :, :, FRONT + wp_in :] = jnp.zeros_like(
-                xs[s, :, :, FRONT + wp_in :]
-            )
+    def _zero_scratch():
+        # one-time: everything outside the DMA'd data regions stays zero for
+        # the whole (sequential) grid — lane margins (the synthetic left
+        # halo + per-part right slack) and the channel-granule tail
+        xs[0] = jnp.zeros_like(xs[0])
+        xs[1] = jnp.zeros_like(xs[1])
 
     @pl.when(idx == 0)
     def _warmup():
@@ -160,9 +171,7 @@ def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
 
         @pl.when(cond)
         def _zero_top(zt=zt):
-            xs[slot, 0:zt, :, FRONT : FRONT + wp_in] = jnp.zeros_like(
-                xs[slot, 0:zt, :, FRONT : FRONT + wp_in]
-            )
+            xs[slot, 0:zt] = jnp.zeros_like(xs[slot, 0:zt])
 
     for zb in sorted({wn[3] for wn in wins if wn[3]}):
         tiles = [k for k, wn in enumerate(wins) if wn[3] == zb]
@@ -170,10 +179,8 @@ def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
 
         @pl.when(cond)
         def _zero_bottom(zb=zb):
-            xs[slot, rows_full - zb :, :, FRONT : FRONT + wp_in] = (
-                jnp.zeros_like(
-                    xs[slot, rows_full - zb :, :, FRONT : FRONT + wp_in]
-                )
+            xs[slot, rows_full - zb :] = jnp.zeros_like(
+                xs[slot, rows_full - zb :]
             )
 
     f32 = jnp.float32
@@ -242,7 +249,7 @@ def _kernel(x_hbm, w2_ref, bias_ref, out_ref, xs, sem, *, kh: int, kw: int,
 
 
 def _conv_core(
-    x: jax.Array,
+    parts,
     kernel: jax.Array,
     bias,
     *,
@@ -258,19 +265,29 @@ def _conv_core(
     residual_channels: int | None,
     aligned_out: bool,
 ) -> jax.Array:
-    """Shared core. ``x`` is (B, Hx, cin, wp_in) with data at rows
-    [0, h_in) x lanes [0, w_in), zeros elsewhere (cin a sublane-granule
-    multiple). Returns (B, alloc_rows >= h_out, cout_store, wp_out)."""
+    """Shared core. ``parts`` is a list of (B, Hx_i, c_i, wp_i) aligned-form
+    arrays forming a logical channel concat — each has data at rows
+    [0, h_in) x lanes [0, w_in), zeros elsewhere. The scratch channel slab
+    is granule-padded; ``kernel`` must already be zero-extended to the
+    padded channel count. Returns (B, alloc >= h_out, cout_store, wp_out).
+    """
     kh, kw, cin, cout = kernel.shape
-    b, hx, cin_in, wp_in = x.shape
-    assert cin_in == cin and cin % 8 == 0, (cin_in, cin)
-    assert hx >= h_in and wp_in >= w_in and wp_in % 128 == 0
+    part_cs = tuple(p.shape[2] for p in parts)
+    part_wps = tuple(p.shape[-1] for p in parts)
+    b = parts[0].shape[0]
+    assert cin == _round_up(sum(part_cs), 8), (cin, part_cs)
+    for p in parts:
+        assert p.shape[0] == b and p.shape[1] >= h_in, (p.shape, h_in)
+        assert p.shape[-1] % 128 == 0 and p.shape[-1] >= w_in
+        assert p.dtype == parts[0].dtype
+    wp_in = max(part_wps)
     assert wp_out <= wp_in + FRONT - kw + 1 + pad_left, (wp_out, wp_in)
     residual = residual_channels is not None
     cout_store = residual_channels if residual else cout
     if residual:
         assert cout == 2 * cout_store, (cout, cout_store)
-    out_dtype = kernel.dtype if jnp.issubdtype(x.dtype, jnp.integer) else x.dtype
+    x_dtype = parts[0].dtype
+    out_dtype = kernel.dtype if jnp.issubdtype(x_dtype, jnp.integer) else x_dtype
 
     g = auto_row_group(kh, cin, cout)
     # block-Toeplitz tap matrices: row group r of the output uses the same
@@ -281,7 +298,7 @@ def _conv_core(
         axis=1,
     ).reshape(kw, g * cout, (kh + g - 1) * cin)
 
-    itemsize = jnp.dtype(x.dtype).itemsize
+    itemsize = jnp.dtype(x_dtype).itemsize
     wp_s = wp_in + 2 * FRONT
     fixed = (
         w2.size * 4
@@ -322,13 +339,13 @@ def _conv_core(
         th=th, w_out=w_out, wp_out=wp_out, relu=relu, use_bias=use_bias,
         g=g, residual=residual, n_tiles=n_tiles, n_total=n_total,
         pad_top=pad_top, pad_left=pad_left, h_in=h_in, h_out=h_out,
-        wp_in=wp_in, aligned_out=aligned_out,
+        part_cs=part_cs, part_wps=part_wps, aligned_out=aligned_out,
     )
     return pl.pallas_call(
         kfun,
         grid=(n_total,),  # flattened (batch, H-tile) for cross-step prefetch
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # aligned input, HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(parts)  # HBM
+        + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -341,10 +358,10 @@ def _conv_core(
             (b, n_tiles * th, cout_store, wp_out), out_dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + kh - 1, cin, wp_s), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, th + kh - 1, cin, wp_s), x_dtype),
+            pltpu.SemaphoreType.DMA((2, len(parts))),
         ],
-    )(x, w2, bias_arr)
+    )(*parts, w2, bias_arr)
 
 
 def conv2d_pallas_bhcw_aligned(
@@ -371,22 +388,25 @@ def conv2d_pallas_bhcw_aligned(
     (zeroed scratch rows / a zeroed lane margin). Inference-only fast path —
     not differentiable (training uses :func:`conv2d_pallas_bhcw`).
     """
+    parts = list(x) if isinstance(x, (list, tuple)) else [x]
     kh, kw, cin, _ = kernel.shape
-    if x.shape[2] > cin:
-        # input channels are granule-padded past the kernel's: extend the
-        # kernel with zero taps (exact — padded channels contribute nothing)
-        kernel = jnp.pad(
-            kernel, ((0, 0), (0, 0), (0, x.shape[2] - cin), (0, 0))
-        )
+    cin_total = sum(p.shape[2] for p in parts)
+    # the kernel's channels correspond to the logical concat of the parts;
+    # parts must be channel-exact (any granule tail is synthesized as zero
+    # scratch slabs in the kernel, with zero kernel taps to match)
+    assert cin <= cin_total, (cin, [p.shape for p in parts])
+    cin_alloc = _round_up(cin_total, 8)
+    if cin_alloc != cin:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cin_alloc - cin), (0, 0)))
     pt = padding if pad_top is None else pad_top
     pb = pt if pad_bottom is None else pad_bottom
     pl_ = padding if pad_left is None else pad_left
     pr = pl_ if pad_right is None else pad_right
-    h_in = x.shape[1] if h is None else h
+    h_in = parts[0].shape[1] if h is None else h
     h_out = h_in + pt + pb - (kh - 1)
     w_out = w + pl_ + pr - (kw - 1)
     out = _conv_core(
-        x, kernel, bias,
+        parts, kernel, bias,
         pad_top=pt, pad_left=pl_, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=_round_up(w_out, 128), relu=relu, tile_h=tile_h,
         residual_channels=residual_channels, aligned_out=True,
@@ -522,14 +542,15 @@ def _conv2d_bhcw_impl(
     cin_p = _round_up(cin, 8)
     if cin_p != cin:
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
-    # one XLA pad to aligned form (right-side lanes + channels only; the
-    # kernel synthesizes the actual conv halos itself)
+    # one XLA pad to aligned form (right-side lanes only; the kernel
+    # synthesizes the conv halos itself and the channel-granule tail is
+    # zero scratch)
     wp = _round_up(w, 128)
-    if cin_p != cin or wp != w:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, cin_p - cin), (0, wp - w)))
+    if wp != w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
 
     out = _conv_core(
-        x, kernel, bias,
+        [x], kernel, bias,
         pad_top=p, pad_left=p, h_in=h, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=w_out, relu=relu, tile_h=tile_h,
         residual_channels=residual_channels, aligned_out=False,

@@ -42,11 +42,11 @@ from .nconv import EPS_DEFAULT, POS_FNS
 from .pallas_conv import FRONT, _round_up, _tile_windows, auto_tile_h
 
 
-def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
-            sem_d, sem_c, *, kh: int, kw: int, cin_pad: int, cout: int,
+def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
             th: int, w_out: int, wp_out: int, eps: float, n_tiles: int,
             n_total: int, pad_top: int, pad_left: int, h_in: int,
-            h_out: int, wp_in: int, aligned_out: bool, g: int):
+            h_out: int, part_cs: tuple, part_wps: tuple,
+            aligned_out: bool, g: int):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
     d_hbm/c_hbm: (B, Hx, cin_pad, wp_in) aligned-form data / confidence in
@@ -61,6 +61,13 @@ def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
     bias_ref/wsum_ref: (cout, 1)
     out_ref/cout_ref:  (1, th, cout, wp_out)
     """
+    n_parts = len(part_cs)
+    d_hbms = refs[:n_parts]
+    c_hbms = refs[n_parts : 2 * n_parts]
+    w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs, sem_d, sem_c = (
+        refs[2 * n_parts :]
+    )
+    coffs = [sum(part_cs[:i]) for i in range(n_parts)]
     idx = pl.program_id(0)
     rows_full = th + kh - 1
     wins = _tile_windows(n_tiles, th, kh, pad_top, h_in)
@@ -76,22 +83,23 @@ def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
             @pl.when(cond)
             def _go(off=off, size=size):
                 src = pl.ds(jnp.maximum(t * th - pad_top, 0), size)
-                for ref, half, sem in ((d_hbm, 0, sem_d), (c_hbm, 1, sem_c)):
-                    cp = pltpu.make_async_copy(
-                        ref.at[bi, src],
-                        xs.at[slot, pl.ds(off, size), half,
-                              :, pl.ds(FRONT, wp_in)],
-                        sem.at[slot],
-                    )
-                    cp.start() if action == "start" else cp.wait()
+                for hbms, half, sem in ((d_hbms, 0, sem_d), (c_hbms, 1, sem_c)):
+                    for i in range(n_parts):
+                        cp = pltpu.make_async_copy(
+                            hbms[i].at[bi, src],
+                            xs.at[slot, pl.ds(off, size), half,
+                                  pl.ds(coffs[i], part_cs[i]),
+                                  pl.ds(FRONT, part_wps[i])],
+                            sem.at[slot, i],
+                        )
+                        cp.start() if action == "start" else cp.wait()
 
     @pl.when(idx == 0)
-    def _zero_margins():
-        for s in (0, 1):
-            xs[s, :, :, :, 0:FRONT] = jnp.zeros_like(xs[s, :, :, :, 0:FRONT])
-            xs[s, :, :, :, FRONT + wp_in :] = jnp.zeros_like(
-                xs[s, :, :, :, FRONT + wp_in :]
-            )
+    def _zero_scratch():
+        # one-time: lane margins, channel-granule tail and per-part lane
+        # slack all stay zero for the whole (sequential) grid
+        xs[0] = jnp.zeros_like(xs[0])
+        xs[1] = jnp.zeros_like(xs[1])
 
     @pl.when(idx == 0)
     def _warmup():
@@ -112,9 +120,7 @@ def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
 
         @pl.when(cond)
         def _zero_top(zt=zt):
-            xs[slot, 0:zt, :, :, FRONT : FRONT + wp_in] = jnp.zeros_like(
-                xs[slot, 0:zt, :, :, FRONT : FRONT + wp_in]
-            )
+            xs[slot, 0:zt] = jnp.zeros_like(xs[slot, 0:zt])
 
     for zb in sorted({wn[3] for wn in wins if wn[3]}):
         tiles = [k for k, wn in enumerate(wins) if wn[3] == zb]
@@ -122,10 +128,8 @@ def _kernel(d_hbm, c_hbm, w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs,
 
         @pl.when(cond)
         def _zero_bottom(zb=zb):
-            xs[slot, rows_full - zb :, :, :, FRONT : FRONT + wp_in] = (
-                jnp.zeros_like(
-                    xs[slot, rows_full - zb :, :, :, FRONT : FRONT + wp_in]
-                )
+            xs[slot, rows_full - zb :] = jnp.zeros_like(
+                xs[slot, rows_full - zb :]
             )
 
     # data half := data * conf, once per tile (VMEM-only traffic); the
@@ -222,23 +226,32 @@ def build_tap_matrices(
 
 
 def _nconv_core(
-    data, conf, w_pos, bias, *, pad_top: int, pad_left: int, h_in: int,
-    w_in: int, h_out: int, w_out: int, wp_out: int, eps: float,
+    data_parts, conf_parts, w_pos, bias, *, pad_top: int, pad_left: int,
+    h_in: int, w_in: int, h_out: int, w_out: int, wp_out: int, eps: float,
     tile_h: int | None, aligned_out: bool,
 ):
-    """Shared core. ``data``/``conf`` are (B, Hx, cin_pad, wp_in)
-    aligned-form (zeros outside rows [0,h_in) x lanes [0,w_in)); ``w_pos``
-    is the already-positive HWIO kernel (cin = cin_pad)."""
+    """Shared core. ``data_parts``/``conf_parts`` are parallel lists of
+    (B, Hx_i, c_i, wp_i) aligned-form arrays forming a logical channel
+    concat (zeros outside rows [0,h_in) x lanes [0,w_in)); ``w_pos`` is the
+    already-positive HWIO kernel, zero-extended to the granule-padded
+    channel total."""
     kh, kw, cin, cout = w_pos.shape
-    b, hx, cin_in, wp_in = data.shape
-    assert cin_in == cin and cin % 4 == 0, (cin_in, cin)
-    assert conf.shape == data.shape
+    part_cs = tuple(p.shape[2] for p in data_parts)
+    part_wps = tuple(p.shape[-1] for p in data_parts)
+    b = data_parts[0].shape[0]
+    assert cin == max(_round_up(sum(part_cs), 4), 4), (cin, part_cs)
+    for dp, cp in zip(data_parts, conf_parts):
+        assert dp.shape == cp.shape and dp.shape[0] == b
+        assert dp.shape[1] >= h_in and dp.shape[-1] % 128 == 0
+        assert dp.dtype == data_parts[0].dtype
+    wp_in = max(part_wps)
     from .pallas_conv import auto_row_group
 
     g = auto_row_group(kh, 2 * cin, 2 * cout)
     w2, wsum = build_tap_matrices(w_pos, cin, g)
 
-    itemsize = jnp.dtype(data.dtype).itemsize
+    dtype = data_parts[0].dtype
+    itemsize = jnp.dtype(dtype).itemsize
     wp_s = wp_in + 2 * FRONT
     if tile_h is None:
         tile_h = auto_tile_h(
@@ -261,35 +274,37 @@ def _nconv_core(
         _kernel, kh=kh, kw=kw, cin_pad=cin, cout=cout, th=th,
         w_out=w_out, wp_out=wp_out, eps=eps, n_tiles=n_tiles,
         n_total=n_total, pad_top=pad_top, pad_left=pad_left, h_in=h_in,
-        h_out=h_out, wp_in=wp_in, aligned_out=aligned_out, g=g,
+        h_out=h_out, part_cs=part_cs, part_wps=part_wps,
+        aligned_out=aligned_out, g=g,
     )
     block_out = pl.BlockSpec(
         (1, th, cout, wp_out), lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
         memory_space=pltpu.VMEM,
     )
     if bias is None or bias.ndim == 0:  # None or scalar sentinel
-        bias = jnp.zeros((cout,), data.dtype)
+        bias = jnp.zeros((cout,), dtype)
+    n_parts = len(data_parts)
     return pl.pallas_call(
         kfun,
         grid=(n_total,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # aligned data, HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # aligned conf, HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_parts)  # HBM
+        + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[block_out, block_out],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), data.dtype),
-            jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), data.dtype),
+            jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), dtype),
+            jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, th + kh - 1, 2, cin, wp_s), data.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, th + kh - 1, 2, cin, wp_s), dtype),
+            pltpu.SemaphoreType.DMA((2, n_parts)),
+            pltpu.SemaphoreType.DMA((2, n_parts)),
         ],
-    )(data, conf, w2, bias.reshape(-1, 1), wsum.reshape(-1, 1))
+    )(*data_parts, *conf_parts, w2, bias.reshape(-1, 1),
+      wsum.reshape(-1, 1))
 
 
 def nconv2d_pallas_aligned(
@@ -309,20 +324,23 @@ def nconv2d_pallas_aligned(
     rows [0, h) x lanes [0, w), zeros elsewhere (cin % 4 == 0). Returns
     ``(out, conf_out, h_out, w_out)`` in aligned form — no XLA pads.
     Inference-only (training uses :func:`nconv2d_pallas_mxu_bhcw`)."""
+    data_parts = list(data) if isinstance(data, (list, tuple)) else [data]
+    conf_parts = list(conf) if isinstance(conf, (list, tuple)) else [conf]
     kh, kw, cin, _ = kernel.shape
     p = padding
-    h_in = data.shape[1] if h is None else h
+    h_in = data_parts[0].shape[1] if h is None else h
     h_out = h_in + 2 * p - (kh - 1)
     w_out = w + 2 * p - (kw - 1)
     w_pos = POS_FNS[pos_fn](kernel)
-    if data.shape[2] > cin:
-        # input channels granule-padded past the kernel's: zero taps for
-        # them (after pos_fn — softplus(0) != 0, the pad must be exact)
-        w_pos = jnp.pad(
-            w_pos, ((0, 0), (0, 0), (0, data.shape[2] - cin), (0, 0))
-        )
+    cin_total = sum(dp.shape[2] for dp in data_parts)
+    cin_alloc = max(_round_up(cin_total, 4), 4)
+    assert cin <= cin_total, (cin, [dp.shape for dp in data_parts])
+    if cin_alloc != cin:
+        # zero taps for the channel-granule tail (after pos_fn —
+        # softplus(0) != 0, the pad must be exact)
+        w_pos = jnp.pad(w_pos, ((0, 0), (0, 0), (0, cin_alloc - cin), (0, 0)))
     out, carr = _nconv_core(
-        data, conf, w_pos, bias,
+        data_parts, conf_parts, w_pos, bias,
         pad_top=p, pad_left=p, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=_round_up(w_out, 128), eps=eps, tile_h=tile_h,
         aligned_out=True,
@@ -472,18 +490,18 @@ def _nconv_bhcw_impl(
     if bias is not None and bias.ndim == 0:  # scalar sentinel
         bias = None
 
-    # one XLA pad to aligned form (right-side lanes + channels only; the
-    # kernel synthesizes the conv halos itself). data and conf stay separate
-    # in HBM — the kernel DMAs both into one scratch and forms data*conf
-    # there, so neither the dc elementwise pass nor the [dc ; c] concat
-    # ever touches HBM.
+    # one XLA pad to aligned form (right-side lanes only; the kernel
+    # synthesizes the conv halos and the channel-granule tail is zero
+    # scratch). data and conf stay separate in HBM — the kernel DMAs both
+    # into one scratch and forms data*conf there, so neither the dc
+    # elementwise pass nor the [dc ; c] concat ever touches HBM.
     wp = _round_up(w, 128)
-    zpad = ((0, 0), (0, 0), (0, cin_pad - cin), (0, wp - w))
-    d_p = jnp.pad(data, zpad) if (cin_pad != cin or wp != w) else data
-    c_p = jnp.pad(conf, zpad) if (cin_pad != cin or wp != w) else conf
+    zpad = ((0, 0), (0, 0), (0, 0), (0, wp - w))
+    d_p = jnp.pad(data, zpad) if wp != w else data
+    c_p = jnp.pad(conf, zpad) if wp != w else conf
 
     out, cout_arr = _nconv_core(
-        d_p, c_p, w_pos, bias,
+        [d_p], [c_p], w_pos, bias,
         pad_top=p, pad_left=p, h_in=h, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=w_out, eps=eps, tile_h=tile_h, aligned_out=False,
     )
