@@ -8,10 +8,11 @@ vs_baseline is measured against the BASELINE.json north-star target of
 60 FPS on one v5e chip (the reference publishes no numbers of its own —
 BASELINE.md).
 
-Headline mode: fused Pallas kernels, full (B,H,C,W) graph, BatchNorm folded
-into conv weights, mixed precision (bf16 feature convs, f32 unguided
-densifier + every depth tensor) — measured 9e-4 relative RMSE vs the f32
-XLA engine on identical wire inputs, inside the <1e-3 parity bar.
+Headline mode: fused Pallas kernels, full aligned-form (B,H,C,W) graph
+(no XLA pads, concat-free multi-input kernels), BatchNorm folded into conv
+weights, mixed precision (bf16 feature convs, f32 unguided densifier +
+every depth tensor) — measured 7e-5 relative RMSE vs the f32 XLA engine
+on identical wire inputs, inside the <1e-3 parity bar.
 """
 from __future__ import annotations
 

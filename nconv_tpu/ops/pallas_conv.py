@@ -542,12 +542,12 @@ def _conv2d_bhcw_impl(
     cin_p = _round_up(cin, 8)
     if cin_p != cin:
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cin_p - cin), (0, 0)))
-    # one XLA pad to aligned form (right-side lanes only; the kernel
-    # synthesizes the conv halos itself and the channel-granule tail is
-    # zero scratch)
+    # one XLA pad to aligned form (right-side lanes + channel granule: a
+    # sub-tile channel DMA slab is rejected by Mosaic; the kernel
+    # synthesizes the conv halos itself)
     wp = _round_up(w, 128)
-    if wp != w:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+    if cin_p != cin or wp != w:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cin_p - cin), (0, wp - w)))
 
     out = _conv_core(
         [x], kernel, bias,

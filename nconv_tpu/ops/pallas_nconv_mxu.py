@@ -490,15 +490,16 @@ def _nconv_bhcw_impl(
     if bias is not None and bias.ndim == 0:  # scalar sentinel
         bias = None
 
-    # one XLA pad to aligned form (right-side lanes only; the kernel
-    # synthesizes the conv halos and the channel-granule tail is zero
-    # scratch). data and conf stay separate in HBM — the kernel DMAs both
-    # into one scratch and forms data*conf there, so neither the dc
-    # elementwise pass nor the [dc ; c] concat ever touches HBM.
+    # one XLA pad to aligned form (right-side lanes + channel granule: a
+    # sub-tile channel DMA slab is rejected by Mosaic; the kernel
+    # synthesizes the conv halos itself). data and conf stay separate in
+    # HBM — the kernel DMAs both into one scratch and forms data*conf
+    # there, so neither the dc elementwise pass nor the [dc ; c] concat
+    # ever touches HBM.
     wp = _round_up(w, 128)
-    zpad = ((0, 0), (0, 0), (0, 0), (0, wp - w))
-    d_p = jnp.pad(data, zpad) if wp != w else data
-    c_p = jnp.pad(conf, zpad) if wp != w else conf
+    zpad = ((0, 0), (0, 0), (0, cin_pad - cin), (0, wp - w))
+    d_p = jnp.pad(data, zpad) if (cin_pad != cin or wp != w) else data
+    c_p = jnp.pad(conf, zpad) if (cin_pad != cin or wp != w) else conf
 
     out, cout_arr = _nconv_core(
         [d_p], [c_p], w_pos, bias,
