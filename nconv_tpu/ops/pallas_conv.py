@@ -448,11 +448,27 @@ def _conv2d_bhcw_fwd(x, kernel, bias, padding, relu, tile_h, residual_channels):
     return out, (x, kernel, bias, out)
 
 
+def transpose_conv_bhcw(cot, w, p):
+    """Input-gradient of a stride-1 conv, in (B,H,C,W) on the Pallas
+    kernel: conv of the cotangent with the spatially-flipped,
+    channel-transposed kernel at padding k-1-p (a negative effective pad —
+    the 1x1/pad-2 quirk layer — becomes a crop first)."""
+    kh, kw = w.shape[0], w.shape[1]
+    w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2)).astype(cot.dtype)
+    ph, pw = kh - 1 - p, kw - 1 - p
+    if ph < 0:
+        cot = cot[:, -ph : cot.shape[1] + ph, :, -pw : cot.shape[3] + pw]
+        ph = pw = 0
+    return conv2d_pallas_bhcw(cot, w_t, padding=ph)
+
+
 def _conv2d_bhcw_bwd(padding, relu, tile_h, residual_channels, res, g):
-    """Hand-rolled backward: the conv is linear in each operand, so the
-    input/kernel cotangents come from ``jax.linear_transpose`` without
-    re-running the forward (the ReLU mask is read from the saved Pallas
-    output). One transposed conv + one filter-grad conv total."""
+    """Hand-rolled backward that never re-runs the forward and never
+    leaves the (B,H,C,W) layout: the input cotangent is a transposed conv
+    **run on the Pallas kernel itself** (XLA's NHWC lowering pads the
+    small-channel tensors into the 128-lane dim), the ReLU mask is read
+    from the saved Pallas output elementwise in BHCW, and only the
+    filter-grad conv (a different contraction shape) stays XLA."""
     from .convops import conv2d as conv2d_xla
 
     x, kernel, bias, out = res
@@ -467,24 +483,20 @@ def _conv2d_bhcw_bwd(padding, relu, tile_h, residual_channels, res, g):
         )
         return vjp(g)
 
-    x_nhwc = jnp.transpose(x, (0, 1, 3, 2)).astype(kernel.dtype)
-    g_nhwc = jnp.transpose(g, (0, 1, 3, 2))
     if relu:
-        g_nhwc = g_nhwc * (jnp.transpose(out, (0, 1, 3, 2)) > 0)
-
-    d_x = jax.linear_transpose(
-        lambda t: conv2d_xla(t, kernel, padding=padding), x_nhwc
-    )(g_nhwc)[0]
-    d_k = jax.linear_transpose(
-        lambda kk: conv2d_xla(x_nhwc, kk, padding=padding), kernel
-    )(g_nhwc)[0]
+        g = g * (out > 0)
+    d_x = transpose_conv_bhcw(g, kernel, padding)
+    d_k = conv_filtergrad_pallas_bhcw(
+        x.astype(kernel.dtype), g.astype(kernel.dtype),
+        kh=kernel.shape[0], kw=kernel.shape[1], padding=padding,
+    ).astype(kernel.dtype)
     has_bias = bias is not None and bias.ndim > 0
     d_b = (
-        jnp.sum(g_nhwc, axis=(0, 1, 2)).astype(bias.dtype)
+        jnp.sum(g, axis=(0, 1, 3)).astype(bias.dtype)
         if has_bias
         else jnp.zeros_like(bias)
     )
-    return jnp.transpose(d_x, (0, 1, 3, 2)).astype(x.dtype), d_k, d_b
+    return d_x.astype(x.dtype), d_k, d_b
 
 
 _conv2d_bhcw_core.defvjp(_conv2d_bhcw_fwd, _conv2d_bhcw_bwd)
@@ -575,3 +587,167 @@ def conv2d_pallas(
         padding=padding, relu=relu, tile_h=tile_h,
     )
     return jnp.transpose(out, (0, 1, 3, 2))
+
+
+# ---------------------------------------------------------------------------
+# Filter gradient (weight cotangent) kernel.
+#
+# The training profile showed XLA's filter-grad convs were 32 of the 35 ms
+# unguided backward: at 8-16 channels XLA pads the NHWC operands 16x into
+# the lane dim. This kernel computes d_w in the native (B, H, C, W) layout:
+# for each horizontal tap dx, ONE block-Toeplitz matmul per (batch, row
+# tile) multiplies the x window's im2col block (a free reshape, same as the
+# forward) against the row-stacked cotangent transposed —
+#
+#     C = A_dx ((th+kh-1)*cin, W) @ G^T (W, th*cout)
+#
+# — and the (row, row+dy) band of C is what feeds d_w[dy, dx]. Stacking th
+# rows into N fills the MXU's output dim (th*cout ~ 128) at the cost of a
+# (th+kh-1)/kh over-compute band — a large win over per-row matmuls with
+# N = cout (~8).
+# ---------------------------------------------------------------------------
+
+
+def _filtergrad_kernel(x_hbm, g_ref, out_ref, xs, sem, *, kh: int, kw: int,
+                       cin_p: int, cout: int, th: int, pad_left: int,
+                       pad_top: int, h_in: int, wp_g: int, wp_in: int,
+                       n_tiles: int, n_total: int):
+    idx = pl.program_id(0)
+    rows_full = th + kh - 1
+    wins = _tile_windows(n_tiles, th, kh, pad_top, h_in)
+    classes = sorted({(o, s) for (o, s, _zt, _zb) in wins if s})
+
+    def dma_apply(step, slot, action):
+        t = step % n_tiles
+        bi = step // n_tiles
+        for off, size in classes:
+            tiles = [k for k, wn in enumerate(wins) if wn[:2] == (off, size)]
+            cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
+
+            @pl.when(cond)
+            def _go(off=off, size=size):
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(jnp.maximum(t * th - pad_top, 0), size)],
+                    xs.at[slot, pl.ds(off, size), :, pl.ds(FRONT, wp_in)],
+                    sem.at[slot],
+                )
+                cp.start() if action == "start" else cp.wait()
+
+    @pl.when(idx == 0)
+    def _zero():
+        xs[0] = jnp.zeros_like(xs[0])
+        xs[1] = jnp.zeros_like(xs[1])
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(idx == 0)
+    def _warmup():
+        dma_apply(0, 0, "start")
+
+    @pl.when(idx + 1 < n_total)
+    def _prefetch():
+        dma_apply(idx + 1, (idx + 1) % 2, "start")
+
+    slot = idx % 2
+    t = idx % n_tiles
+    dma_apply(idx, slot, "wait")
+
+    for zt in sorted({wn[2] for wn in wins if wn[2]}):
+        tiles = [k for k, wn in enumerate(wins) if wn[2] == zt]
+        cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
+
+        @pl.when(cond)
+        def _zero_top(zt=zt):
+            xs[slot, 0:zt] = jnp.zeros_like(xs[slot, 0:zt])
+
+    for zb in sorted({wn[3] for wn in wins if wn[3]}):
+        tiles = [k for k, wn in enumerate(wins) if wn[3] == zb]
+        cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
+
+        @pl.when(cond)
+        def _zero_bottom(zb=zb):
+            xs[slot, rows_full - zb :] = jnp.zeros_like(
+                xs[slot, rows_full - zb :]
+            )
+
+    a = xs[slot].reshape(rows_full * cin_p, xs.shape[-1])
+    g2 = g_ref[0].reshape(th * cout, wp_g)
+    cols = []
+    for dx in range(kw):
+        off = FRONT - pad_left + dx
+        c = lax.dot_general(
+            a[:, off : off + wp_g], g2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # ((th+kh-1)*cin_p, th*cout)
+        # band gather: g row j pairs x rows j..j+kh-1
+        rows = []
+        for dy in range(kh):
+            blocks = [
+                c[(j + dy) * cin_p : (j + dy + 1) * cin_p,
+                  j * cout : (j + 1) * cout]
+                for j in range(th)
+            ]
+            s = blocks[0]
+            for bblk in blocks[1:]:
+                s = s + bblk
+            rows.append(s)
+        cols.append(jnp.concatenate(rows, 0) if kh > 1 else rows[0])
+    out_ref[...] += jnp.concatenate(cols, 1) if kw > 1 else cols[0]
+
+
+def conv_filtergrad_pallas_bhcw(
+    x: jax.Array,
+    g: jax.Array,
+    *,
+    kh: int,
+    kw: int,
+    padding: int,
+) -> jax.Array:
+    """Weight cotangent of a stride-1 BHCW conv: ``x`` (B, H, Cin, W) is the
+    saved forward input, ``g`` (B, H_out, Cout, W_out) the output cotangent
+    (ReLU mask already applied). Returns (kh, kw, Cin, Cout) float32."""
+    b, h, cin, w = x.shape
+    _, h_out, cout, w_out = g.shape
+    assert h_out == h + 2 * padding - (kh - 1), (h, h_out, kh, padding)
+    cin_p = _round_up(cin, 8)
+    wp = _round_up(w, 128)
+    x_p = (
+        jnp.pad(x, ((0, 0), (0, 0), (0, cin_p - cin), (0, wp - w)))
+        if (cin_p != cin or wp != w) else x
+    )
+    # N util wants th*cout ~ 128; band over-compute wants small th
+    th = min(max(128 // cout, 1), h_out, 16)
+    n_tiles = -(-h_out // th)
+    wp_g = _round_up(w_out, 128)
+    g_p = jnp.pad(
+        g, ((0, 0), (0, n_tiles * th - h_out), (0, 0), (0, wp_g - w_out))
+    ).astype(x_p.dtype)
+
+    n_total = b * n_tiles
+    kfun = functools.partial(
+        _filtergrad_kernel, kh=kh, kw=kw, cin_p=cin_p, cout=cout, th=th,
+        pad_left=padding, pad_top=padding, h_in=h, wp_g=wp_g, wp_in=wp,
+        n_tiles=n_tiles, n_total=n_total,
+    )
+    out = pl.pallas_call(
+        kfun,
+        grid=(n_total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x, HBM (halo windows)
+            pl.BlockSpec(
+                (1, th, cout, wp_g),
+                lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (kh * cin_p, kw * cout), lambda idx: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((kh * cin_p, kw * cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + kh - 1, cin_p, wp + 2 * FRONT), x_p.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x_p, g_p)
+    out = out.reshape(kh, cin_p, kw, cout)
+    return jnp.transpose(out, (0, 2, 1, 3))[:, :, :cin]

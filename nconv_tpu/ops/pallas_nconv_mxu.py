@@ -39,7 +39,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .nconv import EPS_DEFAULT, POS_FNS
-from .pallas_conv import FRONT, _round_up, _tile_windows, auto_tile_h
+from .pallas_conv import (
+    FRONT,
+    _round_up,
+    _tile_windows,
+    auto_tile_h,
+    transpose_conv_bhcw,
+)
 
 
 def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
@@ -374,60 +380,61 @@ def _nconv_bhcw_fwd(data, conf, kernel, bias, padding, pos_fn, eps, tile_h):
 
 
 def _nconv_bhcw_bwd(padding, pos_fn, eps, tile_h, res, g):
-    """Hand-rolled backward that never re-runs the forward convolution.
+    """Hand-rolled backward that never re-runs the forward convolution and
+    never leaves the (B,H,C,W) layout.
 
     The intermediates are reconstructed algebraically from the saved Pallas
     outputs — ``denom = conf_out * sum(w)`` and
     ``nomin = (out - bias) * (denom + eps)`` — and because both inner
     convolutions are linear, the data/conf cotangents come from ONE
-    batch-stacked transposed conv and the kernel cotangent from ONE
-    batch-stacked filter-grad conv (``jax.linear_transpose``), vs the
-    forward + two transposed convs a reference-vjp backward costs.
+    batch-stacked transposed conv **run on the Pallas kernel itself**
+    (XLA's NHWC lowering pads these 8-channel tensors 16x into the lane
+    dim; keeping the backward BHCW more than halves the train step). The
+    kernel cotangent stays an XLA filter-grad conv (different contraction
+    shape), fed by the minimal transposes.
     """
-    from .convops import conv2d as conv2d_xla
 
     data, conf, kernel, bias, (out, cout_out) = res
     g_out, g_cout = g
     p = padding
-    t = lambda a: jnp.transpose(a, (0, 1, 3, 2))  # BHCW <-> NHWC
 
     w, pos_vjp = jax.vjp(POS_FNS[pos_fn], kernel)
     ksum = jnp.sum(w, axis=(0, 1, 2))  # (cout,)
+    kcol = ksum.reshape(1, 1, -1, 1)
     has_bias = bias is not None and bias.ndim > 0
-    b_col = bias if has_bias else jnp.zeros(w.shape[-1], w.dtype)
+    b_col = (
+        bias if has_bias else jnp.zeros(w.shape[-1], w.dtype)
+    ).reshape(1, 1, -1, 1)
 
-    d_n, c_n = t(data), t(conf)
-    out_n, cout_n = t(out), t(cout_out)
-    go_n, gc_n = t(g_out), t(g_cout)
+    denom = cout_out * kcol
+    nomin = (out - b_col) * (denom + eps)
+    d_nomin = g_out / (denom + eps)
+    d_denom = -g_out * nomin / (denom + eps) ** 2 + g_cout / kcol
 
-    denom = cout_n * ksum
-    nomin = (out_n - b_col) * (denom + eps)
-    d_nomin = go_n / (denom + eps)
-    d_denom = -go_n * nomin / (denom + eps) ** 2 + gc_n / ksum
-
-    dc = d_n * c_n
-    n = d_n.shape[0]
+    dc = data * conf
+    n = data.shape[0]
     # one transposed conv for both branches (batch-stacked cotangents)
-    d_stacked = jax.linear_transpose(
-        lambda s: conv2d_xla(s, w, padding=p),
-        jnp.concatenate([dc, c_n], axis=0),
-    )(jnp.concatenate([d_nomin, d_denom], axis=0))[0]
+    cot = jnp.concatenate([d_nomin, d_denom], axis=0)
+    d_stacked = transpose_conv_bhcw(cot, w, p)
     d_dc, d_c_denom = d_stacked[:n], d_stacked[n:]
     # one filter-grad conv: contraction over the stacked batch sums the
-    # dc·d_nomin and c·d_denom contributions
-    d_w = jax.linear_transpose(
-        lambda ww: conv2d_xla(jnp.concatenate([dc, c_n], axis=0), ww, padding=p),
-        w,
-    )(jnp.concatenate([d_nomin, d_denom], axis=0))[0]
+    # dc·d_nomin and c·d_denom contributions — on the Pallas filter-grad
+    # kernel, staying in BHCW
+    from .pallas_conv import conv_filtergrad_pallas_bhcw
+
+    d_w = conv_filtergrad_pallas_bhcw(
+        jnp.concatenate([dc, conf], axis=0), cot,
+        kh=w.shape[0], kw=w.shape[1], padding=p,
+    ).astype(w.dtype)
     # cout = denom / ksum also differentiates through ksum = sum(w)
-    d_ksum = -jnp.sum(gc_n * cout_n, axis=(0, 1, 2)) / ksum
+    d_ksum = -jnp.sum(g_cout * cout_out, axis=(0, 1, 3)) / ksum
     d_w = d_w + d_ksum.reshape(1, 1, 1, -1)
 
-    d_data = t(d_dc * c_n).astype(data.dtype)
-    d_conf = t(d_dc * d_n + d_c_denom).astype(conf.dtype)
+    d_data = (d_dc * conf).astype(data.dtype)
+    d_conf = (d_dc * data + d_c_denom).astype(conf.dtype)
     d_kernel = pos_vjp(d_w.astype(w.dtype))[0]
     d_bias = (
-        jnp.sum(go_n, axis=(0, 1, 2)).astype(bias.dtype)
+        jnp.sum(g_out, axis=(0, 1, 3)).astype(bias.dtype)
         if has_bias
         else jnp.zeros_like(bias)
     )

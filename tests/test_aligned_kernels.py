@@ -201,3 +201,41 @@ def test_aligned_nconv_multi_input_matches_concat():
     np.testing.assert_allclose(
         np.asarray(carr[:, :ho, :, :wo]), np.asarray(t(ref_c)), atol=1e-5
     )
+
+
+@pytest.mark.parametrize(
+    "shape,kk,p,co",
+    [
+        ((2, 20, 8, 140), (5, 5), 2, 8),
+        ((1, 14, 3, 96), (3, 3), 1, 32),
+        ((1, 12, 8, 100), (3, 3), 0, 8),
+        ((2, 18, 8, 120), (1, 1), 2, 4),   # the nconv7 1x1/pad-2 quirk
+        ((1, 40, 33, 128), (4, 4), 1, 64),  # upf-style geometry
+    ],
+)
+def test_filtergrad_kernel_matches_xla(shape, kk, p, co):
+    """The Pallas filter-gradient kernel (weight cotangent) vs XLA's
+    filter-grad conv — the op that was 32 of the 35 ms unguided backward
+    when lowered through XLA's NHWC layouts."""
+    from nconv_tpu.ops.pallas_conv import conv_filtergrad_pallas_bhcw
+
+    B, h, cin, w = shape
+    kh, kw = kk
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    h_out, w_out = h + 2 * p - (kh - 1), w + 2 * p - (kw - 1)
+    g = jnp.asarray(rng.standard_normal((B, h_out, co, w_out)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = conv_filtergrad_pallas_bhcw(x, g, kh=kh, kw=kw, padding=p)
+    xn = jnp.transpose(x, (0, 1, 3, 2))
+    gn = jnp.transpose(g, (0, 1, 3, 2))
+    ref = jax.linear_transpose(
+        lambda kk_: lax.conv_general_dilated(
+            xn, kk_, (1, 1), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ),
+        jnp.zeros((kh, kw, cin, co), jnp.float32),
+    )(gn)[0]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref),
+        atol=float(jnp.max(jnp.abs(ref))) * 1e-4 + 1e-5,
+    )

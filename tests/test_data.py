@@ -416,3 +416,31 @@ def test_kitti_test_dataset_and_eval_cli(kitti_eval_root, tmp_path, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "rmse" in out and np.isfinite(out["rmse"])
+
+
+def test_infer_cli_kitti_test_dataset(kitti_eval_root, tmp_path, capsys):
+    """`infer --dataset kitti_test` densifies the gt-less submission split
+    end-to-end (reference workflow: produce maps for the KITTI server from
+    dataset/kittiloader.py:160-211's tree) and writes 16-bit PNGs."""
+    import jax
+
+    from nconv_tpu.cli import main
+    from nconv_tpu.data import io as dio
+    from nconv_tpu.models import GuidedDepthNet
+    from nconv_tpu.training import save_best
+
+    rgb = np.zeros((1, 352, 1216, 3), np.float32)
+    d = np.zeros((1, 352, 1216, 1), np.float32)
+    v = GuidedDepthNet().init(jax.random.key(0), rgb, d, rgb, d)
+    ck = save_best(str(tmp_path), "s2", v)
+    out_dir = tmp_path / "pred"
+    rc = main([
+        "infer", "--checkpoint", ck, "--dataset", "kitti_test",
+        "--root", kitti_eval_root, "--limit", "1",
+        "--out-dir", str(out_dir),
+    ])
+    assert rc == 0
+    outs = sorted(out_dir.glob("*_depth.png"))
+    assert len(outs) == 1
+    dense = dio.load_depth_png16(str(outs[0]))
+    assert dense.shape == (352, 1216) and np.isfinite(dense).all()
