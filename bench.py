@@ -88,6 +88,20 @@ def main() -> None:
     _force_complete(last)
     stream_fps = n_stream / (time.perf_counter() - t0)
 
+    # raw host->HBM wire bandwidth over the tunnel: on axon this is
+    # ~40-650 MB/s (variable), which bounds the pipelined stream at
+    # bandwidth / wire_bytes_per_frame regardless of device speed — a
+    # locally-attached host (PCIe/ICI) would not pay this
+    f0 = next(frames(1))
+    t0 = time.perf_counter()
+    n_bw = 20
+    for _ in range(n_bw):
+        staged = (engine._stage(f0[0], 3), engine._stage(f0[1], 1))
+    jax.block_until_ready(staged)
+    h2d_mb_s = engine.wire_bytes_per_frame / (
+        (time.perf_counter() - t0) / n_bw
+    ) / 1e6
+
     # batched multi-stream bf16 throughput (BASELINE config #5)
     tput_fps = None
     try:
@@ -140,6 +154,12 @@ def main() -> None:
         "f32_fps": round(1000.0 / f32_ms, 2),
         "f32_ms": round(f32_ms, 3),
         "stream_fps_pipelined": round(stream_fps, 2),
+        # the pipelined stream is tunnel-transport-bound:
+        # h2d_mb_per_s / wire_mb_per_frame is its ceiling here
+        "h2d_mb_per_s": round(h2d_mb_s, 1),
+        "stream_transport_ceiling_fps": round(
+            h2d_mb_s * 1e6 / engine.wire_bytes_per_frame, 2
+        ),
         "throughput_fps_b8_bf16": round(tput_fps, 2) if tput_fps else None,
         "trace_ms": round(trace_ms, 3) if trace_ms else None,
         "trace_fps": round(1000.0 / trace_ms, 2) if trace_ms else None,
