@@ -268,6 +268,10 @@ class GuidedDepthNet(nn.Module):
             pos_fn=self.step1_pos_fn,
             dtype=self.step1_dtype if self.step1_dtype is not None else self.dtype,
             backend=self.backend,
+            # the aligned (pad-free) graph is inference-only: even the
+            # frozen step 1 can't use it under jax.grad (param tangents
+            # flow INTO the submodule before stop_gradient cuts them at
+            # its output, so pallas_call still needs a JVP rule there)
             aligned=lay0 == "bhcw",
         )
         # Effective encoder config — the reference defines the stack twice
