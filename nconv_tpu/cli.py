@@ -168,6 +168,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--pos-fn", choices=["softplus", "identity", "exp", "sigmoid", "softmax"],
         default="softplus",
     )
+    pi.add_argument(
+        "--backend", choices=["auto", "xla", "pallas"], default="auto",
+        help="conv backend; 'auto' selects the fused Pallas kernels on TPU",
+    )
+    pi.add_argument(
+        "--mixed", action="store_true",
+        help="bf16 feature convs, f32 depth path (the headline engine mode)",
+    )
     return ap
 
 
@@ -296,17 +304,9 @@ def _train_cfg(args, batch_reduce="mean"):
 # ---------------------------------------------------------------------------
 
 def _resolve_backend(name: str) -> str:
-    """'auto' -> pallas on TPU, xla elsewhere. An explicit 'pallas' also
-    falls back to xla off-TPU: the fused kernels are Mosaic TPU programs
-    (the platform may be named 'tpu' or a tunneled variant like 'axon')."""
-    import jax
+    from .models import resolve_backend
 
-    on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda")
-    if name == "auto":
-        return "pallas" if on_tpu else "xla"
-    if name == "pallas" and not on_tpu:
-        return "xla"
-    return name
+    return resolve_backend(name)
 
 
 def cmd_train_step1(args) -> int:
@@ -624,17 +624,50 @@ def cmd_infer(args) -> int:
         frames = (_load(rp, dp) for rp, dp in zip(rgbs, depths))
         h, w = args.height, args.width
 
+    import jax.numpy as jnp
+
+    backend = _resolve_backend(args.backend)
+    kw = (
+        {"dtype": jnp.bfloat16, "step1_dtype": jnp.float32}
+        if args.mixed
+        else {}
+    )
     engine = StreamingEngine(
-        variables, height=h, width=w, model=GuidedDepthNet(step1_pos_fn=args.pos_fn)
+        variables,
+        height=h,
+        width=w,
+        model=GuidedDepthNet(step1_pos_fn=args.pos_fn, backend=backend, **kw),
     )
     engine.warmup()
     os.makedirs(args.out_dir, exist_ok=True)
-    for i, (rgb, d, base) in enumerate(frames):
-        out0, _ = engine(rgb, d, rgb, d)
-        dense = np.asarray(out0)[0, :, :, 0]
+
+    def _save(out, base):
+        dense = np.asarray(out, np.float32)[0, :, :, 0]
         data_io.save_depth_png16(os.path.join(args.out_dir, base + "_depth.png"), dense)
         save_depth(dense, os.path.join(args.out_dir, base + "_vis.png"))
-        print(f"[{i + 1}/{n}] {base}")
+
+    # the deployed graph takes TWO camera streams per forward
+    # (reference export_to_onnx.py:65-66) — consume frames in pairs so a
+    # directory of N frames costs ceil(N/2) dispatches, not N
+    done = 0
+    pending = None
+    for frame in frames:
+        if pending is None:
+            pending = frame
+            continue
+        (r0, d0, b0), (r1, d1, b1) = pending, frame
+        pending = None
+        out0, out1 = engine(r0, d0, r1, d1)
+        _save(out0, b0)
+        _save(out1, b1)
+        done += 2
+        print(f"[{done}/{n}] {b0} {b1}")
+    if pending is not None:
+        rgb, d, base = pending
+        out0, _ = engine(rgb, d, rgb, d)
+        _save(out0, base)
+        done += 1
+        print(f"[{done}/{n}] {base}")
     return 0
 
 

@@ -50,9 +50,11 @@ def _load():
             os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
         )
         if (not os.path.isfile(_SO_PATH) or stale) and not _build():
-            if not os.path.isfile(_SO_PATH):
-                _build_failed = True
-                return None
+            # a stale .so may predate the current ctypes signatures (e.g. the
+            # 3-arg encode_depth_wire ABI would silently drop `scale`), so a
+            # failed rebuild means the numpy fallbacks, never the old binary
+            _build_failed = True
+            return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:

@@ -1,4 +1,5 @@
 """Model zoo: unguided NConv UNet (step 1) and RGB-guided fusion net (step 2)."""
+from .backend import resolve_backend
 from .fold import fold_batchnorm_variables, maybe_fold
 from .guided import (
     BORDER_LEFT,
@@ -24,6 +25,7 @@ from .nconv_layers import NConv2d
 from .unguided import CONF_THRESHOLD, NConvUNet, Step1Unguided
 
 __all__ = [
+    "resolve_backend",
     "fold_batchnorm_variables",
     "maybe_fold",
     "BORDER_LEFT",

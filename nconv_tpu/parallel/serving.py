@@ -15,8 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..models import GuidedDepthNet
 from .mesh import DATA_AXIS, make_mesh, pad_batch_to
@@ -40,10 +40,12 @@ class DataParallelEngine:
         fold_bn: bool = True,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
-        from ..models import maybe_fold
+        from ..models import maybe_fold, resolve_backend
 
         self.model, variables = maybe_fold(
-            model or GuidedDepthNet(), variables, fold_bn
+            model or GuidedDepthNet(backend=resolve_backend("auto")),
+            variables,
+            fold_bn,
         )
         self.height, self.width = height, width
         self.n_data = self.mesh.shape[DATA_AXIS]
@@ -59,7 +61,7 @@ class DataParallelEngine:
             mesh=self.mesh,
             in_specs=(P(), sharded, sharded, sharded, sharded),
             out_specs=(sharded, sharded),
-            check_rep=False,
+            check_vma=False,
         )
         self._fn = jax.jit(fwd)
         self.variables = jax.device_put(

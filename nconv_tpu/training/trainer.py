@@ -59,8 +59,12 @@ class UnguidedTask:
         if self.two_stream:
             stacked = jnp.concatenate([depth, depth], axis=0)
             pred, _ = self.model.apply(variables, stacked)
-            # reference slices estimated_depth[0::2]; with [d; d] batch
-            # stacking that equals the first-stream rows
+            # reference slices estimated_depth[0::2] (void_train_step1.py);
+            # here both streams carry the SAME tensor, so pred[:B] and the
+            # literal [0::2] select numerically identical rows for any B
+            # (for B>1 they index different rows of the [d; d] stack — that
+            # only matters if the streams ever diverge, which the reference
+            # never does: its deployed training uses b=1 identical streams)
             return pred[: depth.shape[0]]
         pred, _ = self.model.apply(variables, depth)
         return pred
