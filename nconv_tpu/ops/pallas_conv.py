@@ -395,6 +395,14 @@ def conv2d_pallas_bhcw_aligned(
     # parts must be channel-exact (any granule tail is synthesized as zero
     # scratch slabs in the kernel, with zero kernel taps to match)
     assert cin <= cin_total, (cin, [p.shape for p in parts])
+    # pad channels may only TRAIL: kernel channel i binds to the i-th channel
+    # of the logical part concat, so a granule-padded part anywhere but last
+    # would silently shift every later part's binding
+    assert cin_total - parts[-1].shape[2] <= cin, (
+        "granule-padded part must be last",
+        cin,
+        [p.shape for p in parts],
+    )
     cin_alloc = _round_up(cin_total, 8)
     if cin_alloc != cin:
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cin_alloc - cin), (0, 0)))
@@ -473,15 +481,31 @@ def _conv2d_bhcw_bwd(padding, relu, tile_h, residual_channels, res, g):
 
     x, kernel, bias, out = res
     if residual_channels is not None:
-        # the fused residual form is inference-only; fall back to the
-        # reference-vjp path if it is ever differentiated
-        _, vjp = jax.vjp(
-            lambda xx, kk, bb: _conv2d_bhcw_reference(
-                xx, kk, bb, padding, relu, residual_channels
-            ),
-            x, kernel, bias,
+        # fused residual form: out = relu(main + bias) + short, both convs
+        # sharing x. The ReLU mask is recovered by recomputing ONLY the
+        # (center-tap 1x1 embedded) shortcut conv — never the main conv —
+        # since relu(main + bias) = out - short. The cotangent pair
+        # [g·mask ‖ g] then flows through ONE transposed conv / ONE
+        # filter-grad (the channel concat matches the stacked kernel).
+        n = residual_channels
+        short = _conv2d_bhcw_impl(
+            x.astype(kernel.dtype), kernel[..., n:], None,
+            padding=padding, relu=False, tile_h=tile_h,
         )
-        return vjp(g)
+        mask = (out - short) > 0
+        g2 = jnp.concatenate([g * mask, g], axis=2)
+        d_x = transpose_conv_bhcw(g2, kernel, padding)
+        d_k = conv_filtergrad_pallas_bhcw(
+            x.astype(kernel.dtype), g2.astype(kernel.dtype),
+            kh=kernel.shape[0], kw=kernel.shape[1], padding=padding,
+        ).astype(kernel.dtype)
+        has_bias = bias is not None and bias.ndim > 0
+        d_b = (
+            jnp.sum(g * mask, axis=(0, 1, 3)).astype(bias.dtype)
+            if has_bias
+            else jnp.zeros_like(bias)
+        )
+        return d_x.astype(x.dtype), d_k, d_b
 
     if relu:
         g = g * (out > 0)

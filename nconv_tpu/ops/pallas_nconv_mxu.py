@@ -341,6 +341,17 @@ def nconv2d_pallas_aligned(
     cin_total = sum(dp.shape[2] for dp in data_parts)
     cin_alloc = max(_round_up(cin_total, 4), 4)
     assert cin <= cin_total, (cin, [dp.shape for dp in data_parts])
+    # pad channels may only TRAIL (see conv2d_pallas_bhcw_aligned): a padded
+    # part before the end would mis-bind every later part's kernel channels
+    assert cin_total - data_parts[-1].shape[2] <= cin, (
+        "granule-padded part must be last",
+        cin,
+        [dp.shape for dp in data_parts],
+    )
+    assert [dp.shape for dp in data_parts] == [cp.shape for cp in conf_parts], (
+        [dp.shape for dp in data_parts],
+        [cp.shape for cp in conf_parts],
+    )
     if cin_alloc != cin:
         # zero taps for the channel-granule tail (after pos_fn —
         # softplus(0) != 0, the pad must be exact)

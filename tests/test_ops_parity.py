@@ -206,3 +206,47 @@ class TestStride2Machinery:
             np.asarray(jnp.transpose(got, (0, 1, 3, 2))), np.asarray(ref),
             atol=1e-4,
         )
+
+    def test_residual_dual_conv_grads_match_reference(self):
+        """The fused-residual custom VJP (mask recovered from out - short,
+        one stacked transposed conv + filter grad — no main-conv recompute)
+        must match grads of the unfused XLA formulation."""
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+
+        from nconv_tpu.ops import conv2d
+        from nconv_tpu.ops.pallas_conv import conv2d_pallas_bhcw
+
+        x = self._rand(1, 16, 24, 6)
+        km = self._rand(3, 3, 6, 8)
+        ks1 = self._rand(1, 1, 6, 8)
+        bias = self._rand(8)
+        ks3 = jnp.zeros((3, 3, 6, 8)).at[1, 1].set(ks1[0, 0])
+        kcat = jnp.concatenate([km, ks3], -1)
+        x_b = jnp.transpose(x, (0, 1, 3, 2))
+
+        def loss_ref(x, kcat, bias):
+            o = jax.nn.relu(conv2d(x, kcat[..., :8], bias, padding=1)) + conv2d(
+                x, kcat[..., 8:], padding=1
+            )
+            return jnp.sum(o * jnp.cos(o))
+
+        def loss_pallas(x_b, kcat, bias):
+            o = conv2d_pallas_bhcw(
+                x_b, kcat, bias, padding=1, residual_channels=8
+            )
+            return jnp.sum(o * jnp.cos(o))
+
+        gx_r, gk_r, gb_r = jax.grad(loss_ref, (0, 1, 2))(x, kcat, bias)
+        with pltpu.force_tpu_interpret_mode():
+            gx_p, gk_p, gb_p = jax.grad(loss_pallas, (0, 1, 2))(x_b, kcat, bias)
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(gx_p, (0, 1, 3, 2))), np.asarray(gx_r),
+            rtol=2e-4, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gk_p), np.asarray(gk_r), rtol=2e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb_p), np.asarray(gb_r), rtol=2e-4, atol=1e-3
+        )

@@ -92,6 +92,32 @@ def test_depth_wire_quantization_is_lossless_for_png_data(guided_vars):
     np.testing.assert_array_equal(back, d)
 
 
+def test_coo_wire_matches_dense_u16(guided_vars):
+    """'coo' depth wire (index+value arrays, rasterized in-graph) must give
+    bit-identical outputs to the dense uint16 wire — both quantize to the
+    same d*256 fixed point."""
+    dense = StreamingEngine(guided_vars, height=H, width=W)
+    coo = StreamingEngine(guided_vars, height=H, width=W, depth_wire="coo")
+    assert coo.wire_bytes_per_frame < dense.wire_bytes_per_frame
+    rgb, d = frame()
+    ref0, ref1 = dense(rgb, d, rgb, d)
+    out0, out1 = coo(rgb, d, rgb, d)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(ref0))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(ref1))
+
+
+def test_coo_wire_capacity_truncates(guided_vars):
+    engine = StreamingEngine(
+        guided_vars, height=H, width=W, depth_wire="coo", coo_capacity=64
+    )
+    d = np.ones((H, W), np.float32)  # fully dense: must truncate, not crash
+    idx, val = engine._encode_depth_coo(d)
+    assert idx.shape == (1, 64) and val.shape == (1, 64)
+    rgb, _ = frame()
+    out0, _ = engine(rgb, d, rgb, d)
+    assert np.isfinite(np.asarray(out0)).all()
+
+
 def test_export_roundtrip(tmp_path, guided_vars):
     """StableHLO export (the ONNX-equivalent deliverable): serialize,
     reload without model code, outputs must match the live model."""
