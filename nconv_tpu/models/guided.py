@@ -68,23 +68,34 @@ class UpCat(nn.Module):
     @nn.compact
     def __call__(self, rgb_skip, fusion, depth, train: bool = False):
         if self.layout == "bhcw":
-            from .aligned import concat_c
+            from .aligned import AT, concat_c
 
-            # [depth ‖ fusion] is one small concat (the 1-channel depth
-            # cannot be a separate DMA slab — sub-granule offsets); the big
-            # [fout ‖ rgb_skip] concat feeds the multi-input kernel directly
-            cat = concat_c(
-                [depth, fusion],
-                zero_tail=-(1 + fusion.logical_c) % 8,
-            )
+            if isinstance(fusion, AT):
+                # aligned inference graph: [depth ‖ fusion] is one small
+                # concat (the 1-channel depth cannot be a separate DMA slab —
+                # sub-granule offsets); the big [fout ‖ rgb_skip] concat
+                # feeds the multi-input kernel directly
+                cat = concat_c(
+                    [depth, fusion],
+                    zero_tail=-(1 + fusion.logical_c) % 8,
+                )
+                fout = Basic2dTrans(
+                    self.features, dtype=self.dtype, backend=self.backend,
+                    fold_bn=self.fold_bn, layout=self.layout, name="upf"
+                )(cat, train)
+                return Basic2d(
+                    self.features, dtype=self.dtype, backend=self.backend,
+                    fold_bn=self.fold_bn, layout=self.layout, name="conv"
+                )([fout, rgb_skip], train)
+            # plain-BHCW training graph: same blocks on (B, H, C, W) arrays
             fout = Basic2dTrans(
                 self.features, dtype=self.dtype, backend=self.backend,
                 fold_bn=self.fold_bn, layout=self.layout, name="upf"
-            )(cat, train)
+            )(jnp.concatenate([depth, fusion], axis=2), train)
             return Basic2d(
                 self.features, dtype=self.dtype, backend=self.backend,
                 fold_bn=self.fold_bn, layout=self.layout, name="conv"
-            )([fout, rgb_skip], train)
+            )(jnp.concatenate([fout, rgb_skip], axis=2), train)
         fout = Basic2dTrans(
             self.features, dtype=self.dtype, backend=self.backend,
             fold_bn=self.fold_bn, layout=self.layout, name="upf"
@@ -117,13 +128,13 @@ class NewFusionBlock(nn.Module):
             feats, dtype=self.dtype, backend=self.backend, layout=conv_layout,
             name=name,
         )
-        if self.layout == "bhcw":
+        from .aligned import AT
+
+        if self.layout == "bhcw" and isinstance(rgb, AT):
             # aligned-form chain: rgb/depth are ATs; the rgb‖depth feature
             # concat feeds the multi-input kernel directly (no HBM concat).
             # The 1-channel depth is granule-padded (Mosaic rejects
             # sub-tile channel DMA slabs).
-            from .aligned import AT
-
             d8 = AT(
                 jnp.pad(depth.arr, ((0, 0), (0, 0), (0, 8 - depth.channels),
                                     (0, 0)))
@@ -135,7 +146,8 @@ class NewFusionBlock(nn.Module):
             fused = mk(self.rgb_channels, "fuse_conv1")([rgb_feat, depth_feat])
             fused = mk(self.features, "fuse_conv2")(fused)
             return mk(self.features, "fuse_conv3")(fused)
-        if chain_bhcw:
+        edges = chain_bhcw and self.layout == "nhwc"
+        if edges:
             # NHWC edges: one transpose in per input, one out
             rgb = jnp.transpose(rgb, (0, 1, 3, 2))
             depth = jnp.transpose(depth, (0, 1, 3, 2))
@@ -146,24 +158,26 @@ class NewFusionBlock(nn.Module):
         fused = mk(self.rgb_channels, "fuse_conv1")(fused)
         fused = mk(self.features, "fuse_conv2")(fused)
         fused = mk(self.features, "fuse_conv3")(fused)
-        if chain_bhcw:
+        if edges:
             fused = jnp.transpose(fused, (0, 1, 3, 2))
         return fused
 
 
 def _downscale_depth(x, factor: int, layout: str, wp: int | None = None):
-    """Bilinear downscale of the step-1 dense map. NHWC in/out for 'nhwc';
-    for 'bhcw' the input is the NHWC dense map and the result is a
-    1-channel aligned-form tensor matched to the stage's lane allocation
-    (for one channel, (B,H,1,W) and (B,H,W,1) share element order, so the
-    conversion is a free reshape plus the small 1-channel lane pad)."""
+    """Bilinear downscale of the step-1 dense map. NHWC in/out for 'nhwc'.
+    For 'bhcw' the input is the NHWC dense map and the result is a 1-channel
+    (B, H, 1, W) tensor — a FREE reshape of the NHWC result (one channel:
+    same element order) — as an aligned-form AT when ``wp`` is given
+    (inference graph) or a plain array otherwise (training graph)."""
     if layout == "bhcw":
         from .aligned import AT, ensure_wp, to_aligned
 
         y = downscale_bilinear(x, factor)
         b, h, w, _ = y.shape
-        at = to_aligned(y.reshape(b, h, 1, w))
-        return ensure_wp(at, wp) if wp else at
+        y = y.reshape(b, h, 1, w)
+        if wp is None:
+            return y
+        return ensure_wp(to_aligned(y), wp)
     return downscale_bilinear(x, factor)
 
 
@@ -178,10 +192,12 @@ class FusionResolution0(nn.Module):
 
     @nn.compact
     def __call__(self, rgb, dense_depth):
-        bhcw = self.layout == "bhcw"
+        from .aligned import AT
+
+        aligned = self.layout == "bhcw" and isinstance(rgb, AT)
         depth = _downscale_depth(
             dense_depth, self.downsample_factor, self.layout,
-            wp=rgb.wp if bhcw else None,
+            wp=rgb.wp if aligned else None,
         )
         fout = NewFusionBlock(
             self.features, self.features, dtype=self.dtype,
@@ -191,7 +207,7 @@ class FusionResolution0(nn.Module):
             dtype=self.dtype, backend=self.backend, layout=self.layout,
             name="conv",
         )(fout)
-        if bhcw:
+        if aligned:
             from .aligned import add
 
             return fout, add(depth, res)
@@ -211,14 +227,16 @@ class FusionResolutionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, rgb, dense_depth, prev_fusion, prev_depth, train: bool = False):
-        bhcw = self.layout == "bhcw"
+        from .aligned import AT
+
+        aligned = self.layout == "bhcw" and isinstance(rgb, AT)
         fout = UpCat(
             self.in_channels, dtype=self.dtype, backend=self.backend,
             fold_bn=self.fold_bn, layout=self.layout, name="upcat"
         )(rgb, prev_fusion, prev_depth, train)
         depth = _downscale_depth(
             dense_depth, self.downsample_factor, self.layout,
-            wp=rgb.wp if bhcw else None,
+            wp=rgb.wp if aligned else None,
         )
         fout = NewFusionBlock(
             self.in_channels, self.features, dtype=self.dtype,
@@ -228,7 +246,7 @@ class FusionResolutionBlock(nn.Module):
             dtype=self.dtype, backend=self.backend, layout=self.layout,
             name="conv",
         )(fout)
-        if bhcw:
+        if aligned:
             from .aligned import add
 
             return fout, add(depth, res)
@@ -279,11 +297,15 @@ class GuidedDepthNet(nn.Module):
         # (models/step2.py:48-51; SURVEY.md §2.3).
         be = self.backend
         fb = self.fold_bn
-        # Full-BHCW graph: with pallas kernels AND folded BN, every block
-        # runs natively in (B, H, C, W) — the only layout conversions left
-        # are one 3-channel RGB transpose at the input and free 1-channel
-        # reshapes at the step-1/depth boundaries.
-        lay = "bhcw" if (be == "pallas" and fb) else "nhwc"
+        # Full-BHCW graph: with pallas kernels every block runs natively in
+        # (B, H, C, W) — the only layout conversions left are one 3-channel
+        # RGB transpose at the input and free 1-channel reshapes at the
+        # step-1/depth boundaries. With folded BN (inference) the blocks
+        # additionally use the aligned (pad-free) AT form; for training they
+        # run on plain BHCW arrays through the custom-VJP kernels, so the
+        # per-block NHWC<->BHCW transposes of the round-2 training graph are
+        # gone (round-3 verdict item 4).
+        lay = "bhcw" if be == "pallas" else "nhwc"
         self.layout = lay
         mk_enc = lambda feats, stride: RGBEncoder(
             feats, stride, dtype=self.dtype, backend=be, fold_bn=fb, layout=lay
@@ -310,7 +332,7 @@ class GuidedDepthNet(nn.Module):
             dense = jax.lax.stop_gradient(dense)
 
         rgb = jnp.concatenate([rgb0, rgb1], axis=0)
-        if bhcw:
+        if bhcw and self.fold_bn:
             from .aligned import from_aligned, to_aligned
 
             # single real layout conversion of the graph (3-channel RGB);
@@ -331,6 +353,23 @@ class GuidedDepthNet(nn.Module):
             to_nhwc = lambda d: from_aligned(d).reshape(
                 d.arr.shape[0], d.h, d.w, 1
             )
+            return tuple(to_nhwc(d) for d in (d0, d1, d2, d3))
+        if bhcw:
+            # plain-BHCW training graph: one 3-channel transpose at entry;
+            # every block (incl. stride-2 encoders and transpose convs) runs
+            # the differentiable BHCW kernels; the four 1-channel depth
+            # outputs convert back to NHWC as FREE reshapes
+            rgb_b = jnp.transpose(rgb, (0, 1, 3, 2))
+            r0 = self.rgb_encoder0(rgb_b, train)   # H
+            r1 = self.rgb_encoder1(r0, train)      # H/2
+            r2 = self.rgb_encoder2(r1, train)      # H/4
+            r3 = self.rgb_encoder3(r2, train)      # H/8
+
+            f0, d0 = self.fuse0(r3, dense)
+            f1, d1 = self.fuse1(r2, dense, f0, d0, train)
+            f2, d2 = self.fuse2(r1, dense, f1, d1, train)
+            _, d3 = self.fuse3(r0, dense, f2, d2, train)
+            to_nhwc = lambda d: d.reshape(d.shape[0], d.shape[1], d.shape[3], 1)
             return tuple(to_nhwc(d) for d in (d0, d1, d2, d3))
         r0 = self.rgb_encoder0(rgb, train)   # H
         r1 = self.rgb_encoder1(r0, train)    # H/2

@@ -188,9 +188,14 @@ class ConvTranspose(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """torch-default BatchNorm2d (eps=1e-5, momentum 0.1 -> EMA decay 0.9)."""
+    """torch-default BatchNorm2d (eps=1e-5, momentum 0.1 -> EMA decay 0.9).
+
+    ``layout='bhcw'`` normalizes axis 2 (the channel/sublane axis of the
+    kernels' native layout) — param and stat shapes stay (C,), so BHCW and
+    NHWC training graphs share checkpoints."""
 
     dtype: Any = None
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -199,6 +204,7 @@ class BatchNorm(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
+            axis=2 if self.layout == "bhcw" else -1,
         )(x)
 
 
@@ -246,7 +252,7 @@ class Basic2d(nn.Module):
             backend=self.backend, layout=self.layout,
         )(x)
         if self.use_norm:
-            x = BatchNorm(dtype=self.dtype)(x, train)
+            x = BatchNorm(dtype=self.dtype, layout=self.layout)(x, train)
         return nn.relu(x)
 
 
@@ -264,7 +270,13 @@ class Basic2dTrans(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.layout == "bhcw":
-            return self._phased_bhcw(x)
+            from .aligned import AT
+
+            if isinstance(x, AT) or (
+                isinstance(x, (list, tuple)) and isinstance(x[0], AT)
+            ):
+                return self._phased_bhcw(x)
+            return self._train_phased_bhcw(x, train)
         # note: the 'phased' decomposition measured neutral at the XLA level
         # (16.2 vs 15.9 ms full-graph) — kept available on ConvTranspose for
         # a future pallas-phase variant, default stays 'dilated'
@@ -277,6 +289,29 @@ class Basic2dTrans(nn.Module):
         if self.use_norm:
             x = BatchNorm(dtype=self.dtype)(x, train)
         return nn.relu(x)
+
+    def _train_phased_bhcw(self, x, train: bool):
+        """Differentiable phased transpose conv on plain (B,H,C,W): the 4x4
+        s2 p1 transpose conv as a stride-1 Pallas conv with phase-stacked
+        output channels + depth-to-space (both differentiable), then BN+ReLU
+        in BHCW. Param/stat tree identical to the NHWC path."""
+        from ..ops.convops import (
+            convtranspose_kernel_phases,
+            depth_to_space_bhcw,
+        )
+        from ..ops.pallas_conv import conv2d_pallas_bhcw
+
+        kernel, bias = ConvTranspose(
+            self.features, use_bias=not self.use_norm, dtype=self.dtype,
+        )(x, params_only=True, layout="bhcw")
+        dtype = self.dtype or x.dtype
+        kph = convtranspose_kernel_phases(kernel.astype(dtype))
+        bias4 = None if bias is None else jnp.tile(bias.astype(dtype), 4)
+        out_ph = conv2d_pallas_bhcw(x.astype(dtype), kph, bias4, padding=1)
+        out = depth_to_space_bhcw(out_ph, self.features)
+        if self.use_norm:
+            out = BatchNorm(dtype=self.dtype, layout="bhcw")(out, train)
+        return nn.relu(out)
 
     def _phased_bhcw(self, x):
         """Transpose conv as a stride-1 pallas conv with phase-stacked output
@@ -326,16 +361,23 @@ class RGBEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.layout == "bhcw":
-            return self._fused_bhcw(x)
+            from .aligned import AT
+
+            if isinstance(x, AT):
+                return self._fused_bhcw(x)
+            if self.stride == 2:
+                # plain-BHCW training form: stride 2 via differentiable
+                # space-to-depth + the custom-VJP stride-1 kernel
+                return self._train_bhcw_s2(x, train)
         # the reference's encoder conv keeps its (redundant-under-BN) bias —
         # torch Conv2d default (models/step2.py:141); the fold transform
         # absorbs it into the folded bias
         out = Conv(
             self.features, stride=self.stride, dtype=self.dtype,
-            backend=self.backend, fuse_relu=self.fold_bn,
+            backend=self.backend, fuse_relu=self.fold_bn, layout=self.layout,
         )(x)
         if not self.fold_bn:
-            out = BatchNorm(dtype=self.dtype)(out, train)
+            out = BatchNorm(dtype=self.dtype, layout=self.layout)(out, train)
             out = nn.relu(out)
         shortcut = Conv(
             self.features,
@@ -345,7 +387,43 @@ class RGBEncoder(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             backend=self.backend,
+            layout=self.layout,
         )(x)
+        return out + shortcut
+
+    def _train_bhcw_s2(self, x, train: bool):
+        """Differentiable stride-2 block on plain (B,H,C,W) operands: ONE
+        space-to-depth re-layout shared by main conv and shortcut, both
+        running as stride-1 Pallas kernels (custom VJP). Module order matches
+        the generic path, so the param/stat tree is identical."""
+        from ..ops.convops import (
+            conv_kernel_s2d,
+            shortcut_kernel_s2d,
+            space_to_depth_bhcw,
+        )
+        from ..ops.pallas_conv import conv2d_pallas_bhcw
+
+        k_main, b_main = Conv(
+            self.features, stride=self.stride, dtype=self.dtype,
+            backend=self.backend, layout="bhcw",
+        )(x, params_only=True)
+        dtype = self.dtype or x.dtype
+        xin = space_to_depth_bhcw(x.astype(dtype), pad=1)
+        out = conv2d_pallas_bhcw(
+            xin, conv_kernel_s2d(k_main.astype(dtype)), b_main, padding=0
+        )
+        if not self.fold_bn:
+            out = BatchNorm(dtype=self.dtype, layout="bhcw")(out, train)
+            out = nn.relu(out)
+        k_short, _ = Conv(
+            self.features, kernel_size=1, stride=self.stride, padding=0,
+            use_bias=False, dtype=self.dtype, backend=self.backend,
+            layout="bhcw",
+        )(x, params_only=True)
+        ks = shortcut_kernel_s2d(k_short.astype(dtype), pad=1)
+        # embed the 1x1 tap in the main conv's 2x2 grid: geometry matches
+        ks2 = jnp.zeros((2, 2) + ks.shape[2:], ks.dtype).at[0, 0].set(ks[0, 0])
+        shortcut = conv2d_pallas_bhcw(xin, ks2, None, padding=0)
         return out + shortcut
 
     def _fused_bhcw(self, x):

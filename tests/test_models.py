@@ -236,6 +236,64 @@ def test_full_bhcw_pallas_graph_matches_xla():
     )
 
 
+def test_bhcw_training_graph_matches_xla():
+    """backend='pallas' WITHOUT fold_bn is the plain-BHCW *training* graph
+    (stride-2 encoders via differentiable space-to-depth, phased transpose
+    convs, BHCW BatchNorm). Same params/stats tree as the XLA graph, same
+    train-mode loss, same grads (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nconv_tpu.losses import multi_resolution_loss
+
+    rng = np.random.default_rng(7)
+    h, w = 48, 64
+    rgb = jnp.asarray(rng.random((1, h, w, 3)).astype(np.float32))
+    truth = np.fromfunction(
+        lambda n, i, j, c: 2 + np.sin(i / 10) + np.cos(j / 12), (1, h, w, 1)
+    ).astype(np.float32)
+    d = jnp.asarray(truth * (rng.random((1, h, w, 1)) < 0.15))
+    gt = jnp.asarray(truth)
+
+    xla = GuidedDepthNet()
+    pal = GuidedDepthNet(backend="pallas")
+    v = xla.init(jax.random.key(0), rgb, d, rgb, d)
+    with pltpu.force_tpu_interpret_mode():
+        v_p = pal.init(jax.random.key(0), rgb, d, rgb, d)
+    assert jax.tree.structure(v) == jax.tree.structure(v_p)
+    assert [x.shape for x in jax.tree.leaves(v)] == [
+        x.shape for x in jax.tree.leaves(v_p)
+    ]
+
+    def loss_fn(model):
+        def f(params):
+            (s0, _), mut = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                rgb, d, rgb, d, True, mutable=["batch_stats"],
+            )
+            return multi_resolution_loss(s0, gt), mut
+        return f
+
+    (l_ref, mut_ref), g_ref = jax.value_and_grad(loss_fn(xla), has_aux=True)(
+        v["params"]
+    )
+    with pltpu.force_tpu_interpret_mode():
+        (l_pal, mut_pal), g_pal = jax.value_and_grad(
+            loss_fn(pal), has_aux=True
+        )(v["params"])
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-4)
+    flat_r = jax.tree.leaves(g_ref)
+    flat_p = jax.tree.leaves(g_pal)
+    for a, b in zip(flat_r, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4
+        )
+    for a, b in zip(
+        jax.tree.leaves(mut_ref["batch_stats"]),
+        jax.tree.leaves(mut_pal["batch_stats"]),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6)
+
+
 def test_unguided_geometry_policy():
     """pallas needs the clean /8 pyramid; the XLA path is shape-agnostic
     (floor-mode pools + resize-to-skip-size decoder)."""
