@@ -181,3 +181,43 @@ def test_spatial_partition_kitti_scale_matches_single_device():
     out, conf = jax.jit(model.apply)(v, d_sharded)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(conf), np.asarray(ref_c), atol=1e-5)
+
+
+def test_spatial_partition_guided_kitti_scale_matches_single_device():
+    """H-sharded GuidedDepthNet.export at KITTI test geometry (352x1216) on
+    the 8-device mesh == unsharded output. The fusion pyramid (stride-2
+    encoders, transpose-conv upsamplers, bilinear downscales, border mask)
+    is where XLA SPMD halo logic actually gets exercised — the reference's
+    deployed graph (`export_to_onnx.py:65-66`) at its production geometry."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nconv_tpu.models import GuidedDepthNet
+    from nconv_tpu.parallel import MODEL_AXIS, make_mesh
+
+    rng = np.random.default_rng(3)
+    h, w = 352, 1216
+    truth = np.fromfunction(
+        lambda b, i, j, c: 20 + 10 * np.sin(i / 40) + 10 * np.cos(j / 60),
+        (1, h, w, 1),
+    ).astype(np.float32)
+    rgb = rng.random((1, h, w, 3)).astype(np.float32)
+    d = (truth * (rng.random((1, h, w, 1)) < 0.05)).astype(np.float32)
+
+    model = GuidedDepthNet()
+    # params depend only on channel counts — init on a small geometry
+    v = model.init(
+        jax.random.key(0), rgb[:, :48, :64], d[:, :48, :64],
+        rgb[:, :48, :64], d[:, :48, :64],
+    )
+
+    def export(v, r0, d0, r1, d1):
+        return model.apply(v, r0, d0, r1, d1, method=GuidedDepthNet.export)
+
+    ref0, ref1 = jax.jit(export)(v, rgb, d, rgb, d)
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    h_spec = NamedSharding(mesh, P(None, MODEL_AXIS, None, None))
+    args = [jax.device_put(a, h_spec) for a in (rgb, d, rgb, d)]
+    out0, out1 = jax.jit(export)(v, *args)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), atol=1e-4)
