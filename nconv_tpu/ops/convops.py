@@ -165,12 +165,13 @@ def space_to_depth_bhcw(x: jax.Array, pad: int = 1) -> jax.Array:
     hp, wp = h + 2 * pad, w + 2 * pad
     assert hp % 2 == 0 and wp % 2 == 0, (hp, wp)
     # rows-first: split the (cheap, non-minor) H axis, then deinterleave
-    # lanes once per row parity — measured 2.6x faster than the single
-    # 6-d transpose form on v5e (722 vs 1864 us at [2,352,32,1216] bf16);
-    # lane-stride-2 ops are the expensive part, so issue as few as possible
-    top, bot = xp[:, 0::2], xp[:, 1::2]
+    # lanes once per row parity. Lane deinterleave via a minor (W/2, 2)
+    # reshape + unit slice — measured 477 vs 660 us for the stride-2 slice
+    # form at [2,352,32,1280] bf16 on v5e (and 2.6x over 6-d transposes).
+    v = xp.reshape(b, hp, c, wp // 2, 2)
+    top, bot = v[:, 0::2], v[:, 1::2]
     return jnp.concatenate(
-        [top[..., 0::2], top[..., 1::2], bot[..., 0::2], bot[..., 1::2]],
+        [top[..., 0], top[..., 1], bot[..., 0], bot[..., 1]],
         axis=2,
     )
 
@@ -186,9 +187,10 @@ def space_to_depth_aligned(x: jax.Array) -> jax.Array:
     """
     b, h, c, wp = x.shape
     assert h % 2 == 0 and wp % 2 == 0, (h, wp)
-    top, bot = x[:, 0::2], x[:, 1::2]
+    v = x.reshape(b, h, c, wp // 2, 2)
+    top, bot = v[:, 0::2], v[:, 1::2]
     return jnp.concatenate(
-        [top[..., 0::2], top[..., 1::2], bot[..., 0::2], bot[..., 1::2]],
+        [top[..., 0], top[..., 1], bot[..., 0], bot[..., 1]],
         axis=2,
     )
 
@@ -197,11 +199,15 @@ def space_to_depth_aligned_parts(x: jax.Array) -> list[jax.Array]:
     """Like :func:`space_to_depth_aligned` but returns the four phase
     planes separately (py, px order) so a multi-input kernel can DMA them
     into adjacent channel slabs — the 4-way channel concat (XLA lowers it
-    as one full-size pad + combine per operand) never materializes."""
+    as one full-size pad + combine per operand) never materializes.
+
+    Lane deinterleave via minor (W/2, 2) reshape + unit slices (477 vs
+    660 us against stride-2 slices at the encoder-1 shape, v5e)."""
     b, h, c, wp = x.shape
     assert h % 2 == 0 and wp % 2 == 0, (h, wp)
-    top, bot = x[:, 0::2], x[:, 1::2]
-    return [top[..., 0::2], top[..., 1::2], bot[..., 0::2], bot[..., 1::2]]
+    v = x.reshape(b, h, c, wp // 2, 2)
+    top, bot = v[:, 0::2], v[:, 1::2]
+    return [top[..., 0], top[..., 1], bot[..., 0], bot[..., 1]]
 
 
 def conv_kernel_s2d_aligned(kernel: jax.Array) -> jax.Array:

@@ -16,8 +16,17 @@ def max_pool2d(
     x: jax.Array, window: int = 2, stride: int | None = None,
     layout: str = "nhwc",
 ) -> jax.Array:
-    """``F.max_pool2d`` parity (floor mode, no padding); NHWC or BHCW."""
+    """``F.max_pool2d`` parity (floor mode, no padding); NHWC or BHCW.
+
+    BHCW 2x2/s2 uses split-maxes instead of ``reduce_window`` — rows split
+    on the (cheap, non-minor) H axis, lanes on W — measured 252 vs 415 us
+    at the step-1 full-res shape [2,352,8,1280] f32 on v5e."""
     stride = stride or window
+    if layout == "bhcw" and window == 2 and stride == 2:
+        h2, w2 = (x.shape[1] // 2) * 2, (x.shape[3] // 2) * 2
+        x = x[:, :h2, :, :w2]
+        y = jnp.maximum(x[:, 0::2], x[:, 1::2])
+        return jnp.maximum(y[..., 0::2], y[..., 1::2])
     if layout == "bhcw":
         dims, strides = (1, window, 1, window), (1, stride, 1, stride)
     else:
@@ -40,10 +49,14 @@ def max_pool_pair(
     Note this is elementwise-independent max (exactly the reference's two
     separate pools), *not* confidence-argmax pooling.
     """
-    ch_axis = 2 if layout == "bhcw" else -1
+    if layout == "bhcw":
+        # split-max path: pooling separately skips the stacking concat's
+        # full read+write of both operands
+        return max_pool2d(x, window, layout=layout), max_pool2d(
+            c, window, layout=layout
+        )
+    ch_axis = -1
     stacked = jnp.concatenate([x, c], axis=ch_axis)
     pooled = max_pool2d(stacked, window, layout=layout)
     ch = x.shape[ch_axis]
-    if layout == "bhcw":
-        return pooled[:, :, :ch], pooled[:, :, ch:]
     return pooled[..., :ch], pooled[..., ch:]
