@@ -393,25 +393,30 @@ class RGBEncoder(nn.Module):
 
     def _train_bhcw_s2(self, x, train: bool):
         """Differentiable stride-2 block on plain (B,H,C,W) operands: ONE
-        space-to-depth re-layout shared by main conv and shortcut, both
-        running as stride-1 Pallas kernels (custom VJP). Module order matches
-        the generic path, so the param/stat tree is identical."""
+        pad-free space-to-depth shared by main conv and shortcut, both
+        running as stride-1 Pallas kernels (custom VJP). The aligned-form
+        2x2 tap grids assume a top/left halo; under symmetric padding=1 the
+        same taps produce one extra output row/col at the END, cropped here
+        (the crop's VJP is a cheap pad). Module order matches the generic
+        path, so the param/stat tree is identical."""
         from ..ops.convops import (
-            conv_kernel_s2d,
-            shortcut_kernel_s2d,
-            space_to_depth_bhcw,
+            conv_kernel_s2d_aligned,
+            shortcut_kernel_s2d_aligned,
+            space_to_depth_bhcw_even,
         )
         from ..ops.pallas_conv import conv2d_pallas_bhcw
 
+        h2, w2 = x.shape[1] // 2, x.shape[3] // 2
         k_main, b_main = Conv(
             self.features, stride=self.stride, dtype=self.dtype,
             backend=self.backend, layout="bhcw",
         )(x, params_only=True)
         dtype = self.dtype or x.dtype
-        xin = space_to_depth_bhcw(x.astype(dtype), pad=1)
+        xin = space_to_depth_bhcw_even(x.astype(dtype))
         out = conv2d_pallas_bhcw(
-            xin, conv_kernel_s2d(k_main.astype(dtype)), b_main, padding=0
-        )
+            xin, conv_kernel_s2d_aligned(k_main.astype(dtype)), b_main,
+            padding=1,
+        )[:, :h2, :, :w2]
         if not self.fold_bn:
             out = BatchNorm(dtype=self.dtype, layout="bhcw")(out, train)
             out = nn.relu(out)
@@ -420,10 +425,10 @@ class RGBEncoder(nn.Module):
             use_bias=False, dtype=self.dtype, backend=self.backend,
             layout="bhcw",
         )(x, params_only=True)
-        ks = shortcut_kernel_s2d(k_short.astype(dtype), pad=1)
-        # embed the 1x1 tap in the main conv's 2x2 grid: geometry matches
-        ks2 = jnp.zeros((2, 2) + ks.shape[2:], ks.dtype).at[0, 0].set(ks[0, 0])
-        shortcut = conv2d_pallas_bhcw(xin, ks2, None, padding=0)
+        shortcut = conv2d_pallas_bhcw(
+            xin, shortcut_kernel_s2d_aligned(k_short.astype(dtype)), None,
+            padding=1,
+        )[:, :h2, :, :w2]
         return out + shortcut
 
     def _fused_bhcw(self, x):

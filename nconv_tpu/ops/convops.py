@@ -176,6 +176,24 @@ def space_to_depth_bhcw(x: jax.Array, pad: int = 1) -> jax.Array:
     )
 
 
+def space_to_depth_bhcw_even(x: jax.Array) -> jax.Array:
+    """Pad-free s2d for even H, W: (B, H, C, W) -> (B, H/2, 4C, W/2), phase
+    blocks in (py, px, c) order, via the minor (W/2, 2) reshape — NO XLA pad
+    and no lane-stride slices. The odd-pad form (:func:`space_to_depth_bhcw`
+    with pad=1) forces a non-lane-aligned relayout that measured ~2 ms fwd /
+    4 ms fwd+bwd at the encoder-1 training shape; this form plus
+    :func:`conv_kernel_s2d_aligned` + symmetric pad 1 + an end crop computes
+    the same stride-2 convolution (the halo becomes one wasted output
+    row/col)."""
+    b, h, c, w = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    v = x.reshape(b, h, c, w // 2, 2)
+    top, bot = v[:, 0::2], v[:, 1::2]
+    return jnp.concatenate(
+        [top[..., 0], top[..., 1], bot[..., 0], bot[..., 1]], axis=2
+    )
+
+
 def space_to_depth_aligned(x: jax.Array) -> jax.Array:
     """Aligned-form s2d: (B, H, C, Wp) with data [0,h)x[0,w) ->
     (B, H/2, 4C, Wp/2), phases (py, px) stacked as full-C channel blocks.
