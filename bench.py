@@ -88,18 +88,71 @@ def main() -> None:
     _force_complete(last)
     stream_fps = n_stream / (time.perf_counter() - t0)
 
+    # COO depth wire: ships (index, value) instead of the 94%-zero dense
+    # u16 plane — ~1.5x less wire per frame, same outputs (bit-identical
+    # quantization; rasterized in-graph). The pipelined stream is transport-
+    # bound on this tunnel, so the smaller wire translates ~directly to FPS.
+    coo_fps = None
+    try:
+        engine_coo = StreamingEngine(
+            variables, height=h, width=w, model=model, depth_wire="coo"
+        )
+        engine_coo.warmup()
+        last = None
+        t0 = time.perf_counter()
+        for out in engine_coo.run(frames(n_stream), depth=3):
+            last = out
+        _force_complete(last)
+        coo_fps = n_stream / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
     # raw host->HBM wire bandwidth over the tunnel: on axon this is
     # ~40-650 MB/s (variable), which bounds the pipelined stream at
     # bandwidth / wire_bytes_per_frame regardless of device speed — a
-    # locally-attached host (PCIe/ICI) would not pay this
-    f0 = next(frames(1))
+    # locally-attached host (PCIe/ICI) would not pay this.
+    # Honest accounting (round-2 fix): every iteration stages ALL FOUR wire
+    # arrays of a two-stream frame (= wire_bytes_per_frame), cycling 4
+    # distinct pre-encoded frames, and completion is forced through a scalar
+    # that data-depends on every staged byte (block_until_ready is not a
+    # real sync on this tunnel — see runtime.streaming._force_complete).
+    wire = [
+        (
+            f[0].astype(np.uint8),
+            engine._encode_depth(f[1]),
+            f[2].astype(np.uint8),
+            engine._encode_depth(f[3]),
+        )
+        for f in frames(4)
+    ]
+    sum4 = jax.jit(
+        lambda r0, d0, r1, d1, acc: acc
+        + jnp.sum(r0, dtype=jnp.float32)
+        + jnp.sum(d0, dtype=jnp.float32)
+        + jnp.sum(r1, dtype=jnp.float32)
+        + jnp.sum(d1, dtype=jnp.float32)
+    )
+
+    def _stage4(i):
+        w_ = wire[i % 4]
+        return (
+            engine._stage(w_[0], 3),
+            engine._stage(w_[1], 1),
+            engine._stage(w_[2], 3),
+            engine._stage(w_[3], 1),
+        )
+
+    acc = jnp.float32(0)
+    acc = sum4(*_stage4(0), acc)  # warm the probe's compile
+    float(np.asarray(acc))
+    n_bw = 16
+    acc = jnp.float32(0)
     t0 = time.perf_counter()
-    n_bw = 20
-    for _ in range(n_bw):
-        staged = (engine._stage(f0[0], 3), engine._stage(f0[1], 1))
-    jax.block_until_ready(staged)
-    h2d_mb_s = engine.wire_bytes_per_frame / (
-        (time.perf_counter() - t0) / n_bw
+    for i in range(n_bw):
+        acc = sum4(*_stage4(i), acc)
+    float(np.asarray(acc))
+    h2d_mb_s = engine.wire_bytes_per_frame * n_bw / (
+        time.perf_counter() - t0
     ) / 1e6
 
     # batched multi-stream bf16 throughput (BASELINE config #5)
@@ -137,6 +190,24 @@ def main() -> None:
     except Exception:
         pass
 
+    # accuracy next to speed: mixed-precision engine vs the all-f32 engine
+    # on identical wire inputs; rel RMSE computed in-graph (scalar fetch)
+    parity = None
+    try:
+        staged0 = _stage4(0)
+        o_mix = engine._fn(engine.variables, *staged0)
+        o_f32 = engine32._fn(engine32.variables, *staged0)
+        rel = jax.jit(
+            lambda a, b: jnp.sqrt(jnp.mean((a.astype(jnp.float32) - b) ** 2))
+            / jnp.sqrt(jnp.mean(b.astype(jnp.float32) ** 2))
+        )
+        parity = max(
+            float(np.asarray(rel(o_mix[0], o_f32[0]))),
+            float(np.asarray(rel(o_mix[1], o_f32[1]))),
+        )
+    except Exception:
+        pass
+
     target_fps = 60.0
     # p50-based: the shared TPU tunnel shows rare multi-frame stalls that
     # poison a mean but not the median
@@ -154,6 +225,10 @@ def main() -> None:
         "f32_fps": round(1000.0 / f32_ms, 2),
         "f32_ms": round(f32_ms, 3),
         "stream_fps_pipelined": round(stream_fps, 2),
+        "stream_fps_pipelined_coo": round(coo_fps, 2) if coo_fps else None,
+        "wire_mb_per_frame_coo": (
+            round(engine_coo.wire_bytes_per_frame / 1e6, 2) if coo_fps else None
+        ),
         # the pipelined stream is tunnel-transport-bound:
         # h2d_mb_per_s / wire_mb_per_frame is its ceiling here
         "h2d_mb_per_s": round(h2d_mb_s, 1),
@@ -164,6 +239,7 @@ def main() -> None:
         "trace_ms": round(trace_ms, 3) if trace_ms else None,
         "trace_fps": round(1000.0 / trace_ms, 2) if trace_ms else None,
         "wire_mb_per_frame": round(engine.wire_bytes_per_frame / 1e6, 2),
+        "parity_rel_rmse": float(f"{parity:.3g}") if parity is not None else None,
         "platform": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -236,6 +236,46 @@ def test_full_bhcw_pallas_graph_matches_xla():
     )
 
 
+def test_mixed_precision_engine_parity():
+    """The headline mixed-precision schedule (bf16 feature convs, f32
+    unguided densifier + depth path, BN folded) must stay inside the
+    BASELINE <1e-3 relative-RMSE bar vs the all-f32 graph. bench.py emits
+    the TPU-measured value as parity_rel_rmse; this pins the same bound in
+    interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nconv_tpu.models import GuidedDepthNet, fold_batchnorm_variables
+
+    rng = np.random.default_rng(11)
+    h, w = 104, 128
+    rgb = jnp.asarray((rng.random((1, h, w, 3)) * 255).astype(np.float32))
+    truth = np.fromfunction(
+        lambda n, i, j, c: 20 + 10 * np.sin(i / 10) + 10 * np.cos(j / 12),
+        (1, h, w, 1),
+    ).astype(np.float32)
+    d = jnp.asarray(truth * (rng.random((1, h, w, 1)) < 0.06))
+
+    model = GuidedDepthNet()
+    v = model.init(jax.random.key(0), rgb, d, rgb, d)
+    for _ in range(2):
+        _, mut = model.apply(v, rgb, d, rgb, d, True, mutable=["batch_stats"])
+        v = {**v, "batch_stats": mut["batch_stats"]}
+    fv = fold_batchnorm_variables(v)
+
+    f32_m = GuidedDepthNet(backend="pallas", fold_bn=True)
+    mix_m = GuidedDepthNet(
+        backend="pallas", fold_bn=True, dtype=jnp.bfloat16,
+        step1_dtype=jnp.float32,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        ref0, _ = f32_m.apply(fv, rgb, d, rgb, d, method=GuidedDepthNet.export)
+        out0, _ = mix_m.apply(fv, rgb, d, rgb, d, method=GuidedDepthNet.export)
+    ref = np.asarray(ref0, np.float64)
+    got = np.asarray(out0, np.float64)
+    rel = np.sqrt(((got - ref) ** 2).mean()) / np.sqrt((ref ** 2).mean())
+    assert rel < 1e-3, rel
+
+
 def test_bhcw_training_graph_matches_xla():
     """backend='pallas' WITHOUT fold_bn is the plain-BHCW *training* graph
     (stride-2 encoders via differentiable space-to-depth, phased transpose

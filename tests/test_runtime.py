@@ -92,6 +92,24 @@ def test_depth_wire_quantization_is_lossless_for_png_data(guided_vars):
     np.testing.assert_array_equal(back, d)
 
 
+def test_default_backend_selection(guided_vars, monkeypatch):
+    """Zero-config engines resolve 'auto': XLA off-TPU (this CPU suite),
+    Pallas on anything that is not cpu/gpu (TPU may be named 'tpu' or a
+    tunneled platform like 'axon')."""
+    from nconv_tpu.models import resolve_backend
+
+    assert resolve_backend("auto") == "xla"  # CPU test env
+    assert resolve_backend("pallas") == "xla"  # explicit pallas off-TPU
+    engine = StreamingEngine(guided_vars, height=H, width=W)
+    assert engine.model.backend == "xla"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    assert resolve_backend("auto") == "pallas"
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_backend("auto") == "pallas"
+    assert resolve_backend("xla") == "xla"
+
+
 def test_coo_wire_matches_dense_u16(guided_vars):
     """'coo' depth wire (index+value arrays, rasterized in-graph) must give
     bit-identical outputs to the dense uint16 wire — both quantize to the
