@@ -78,6 +78,43 @@ def _linear_weights_align_false(out_size: int, in_size: int):
     return lo, hi, frac
 
 
+def _resize_matrix(out_size: int, in_size: int, align_corners: bool) -> np.ndarray:
+    """(out, in) interpolation matrix with the torch corner convention —
+    two taps per row ((1-frac) at lo, frac at hi; they coalesce to exactly
+    1.0 on clamped border rows)."""
+    weights = (
+        _linear_weights_align_true if align_corners else _linear_weights_align_false
+    )
+    lo, hi, frac = weights(out_size, in_size)
+    rows = np.arange(out_size)
+    mat = np.zeros((out_size, in_size), np.float32)
+    np.add.at(mat, (rows, lo), 1.0 - frac)
+    np.add.at(mat, (rows, hi), frac)
+    return mat
+
+
+def _resize_bilinear_matmul(
+    x: jax.Array, size: tuple[int, int], *, align_corners: bool
+) -> jax.Array:
+    """Bilinear resize of a (B, H, W) plane as two constant-matrix matmuls.
+
+    The gather form (`jnp.take` + lerp) differentiates into a full-size
+    scatter-add, which TPUs serialize per index — the dominant cost of the
+    multi-resolution training loss. As matmuls both directions ride the MXU
+    and the VJP is just the transposed matmuls. HIGHEST precision keeps f32
+    accuracy (two-tap rows; same two products as the lerp)."""
+    h_out, w_out = size
+    _, h_in, w_in = x.shape
+    hp = jax.lax.Precision.HIGHEST
+    if h_out != h_in:
+        mh = jnp.asarray(_resize_matrix(h_out, h_in, align_corners), x.dtype)
+        x = jnp.einsum("Oh,bhw->bOw", mh, x, precision=hp)
+    if w_out != w_in:
+        mw = jnp.asarray(_resize_matrix(w_out, w_in, align_corners), x.dtype)
+        x = jnp.einsum("Pw,bhw->bhP", mw, x, precision=hp)
+    return x
+
+
 def _resize_linear_1d(x: jax.Array, axis: int, lo, hi, frac) -> jax.Array:
     frac = jnp.asarray(frac, x.dtype)
     shape = [1, 1, 1, 1]
@@ -96,6 +133,13 @@ def resize_bilinear(
     _, h_in, w_in, _ = x.shape
     if (h_out, w_out) == (h_in, w_in):
         return x
+    if x.shape[-1] == 1:
+        # 1-channel (every depth tensor): the (B,H,W,1)->(B,H,W) squeeze is
+        # free, W lands in the lane dim, and the matmul form avoids the
+        # gather whose VJP is a serialized scatter-add
+        return _resize_bilinear_matmul(
+            x[..., 0], size, align_corners=align_corners
+        )[..., None]
     weights = (
         _linear_weights_align_true if align_corners else _linear_weights_align_false
     )
