@@ -127,3 +127,51 @@ def add(a: AT, b: AT) -> AT:
         a.arr.shape, b.arr.shape, a.h, a.w, b.h, b.w,
     )
     return AT(a.arr + b.arr, a.h, a.w, a.c)
+
+
+class WS(NamedTuple):
+    """W-phase-split aligned tensor: array (B, H_alloc, 2C, Wp_half) whose
+    channel axis stacks [even-lane C | odd-lane C] planes of a logical
+    (B, h, C, w) tensor (w even), each at half width. The full-width W
+    interleave never materializes: convs run on the split form via
+    ``ops.convops.conv_kernel_wsplit`` (same arithmetic, half the lanes,
+    twice the channels) and only the 1-channel final depth ever merges.
+    Zeros outside rows [0, h) x lanes [0, w/2) — the aligned invariant."""
+
+    arr: jax.Array
+    h: int
+    w: int  # FULL logical width (even); per-phase data width is w // 2
+    c: int  # per-phase channel count
+
+    @property
+    def wp(self) -> int:
+        return self.arr.shape[-1]
+
+
+def wsplit(at: AT) -> WS:
+    """AT -> WS: the one lane deinterleave (minor (W/2, 2) reshape + unit
+    slices), shared by every consumer of the split form."""
+    assert at.c is None, "split channel-exact tensors only"
+    b, ha, c, wp = at.arr.shape
+    assert wp % 2 == 0 and at.w % 2 == 0, (wp, at.w)
+    v = at.arr.reshape(b, ha, c, wp // 2, 2)
+    arr = jnp.concatenate([v[..., 0], v[..., 1]], axis=2)
+    wq = _round_up(wp // 2, 128)
+    if wq != wp // 2:  # e.g. full wp 640 -> half 320 -> realign to 384
+        arr = jnp.pad(arr, ((0, 0), (0, 0), (0, 0), (0, wq - wp // 2)))
+    return WS(arr, at.h, at.w, c)
+
+
+def wmerge(ws: WS) -> AT:
+    """WS -> AT: one lane interleave. Only used on the tiny 1-channel final
+    depth; everything wide stays split."""
+    b, ha, c2, wph = ws.arr.shape
+    ev, od = ws.arr[:, :, : ws.c], ws.arr[:, :, ws.c : 2 * ws.c]
+    arr = jnp.stack([ev, od], axis=-1).reshape(b, ha, ws.c, 2 * wph)
+    return AT(arr, ws.h, ws.w)
+
+
+def ws_add(a: WS, b: WS) -> WS:
+    assert (a.h, a.w, a.c) == (b.h, b.w, b.c), (a, b)
+    n = min(a.arr.shape[1], b.arr.shape[1])
+    return WS(a.arr[:, :n] + b.arr[:, :n], a.h, a.w, a.c)

@@ -68,8 +68,26 @@ class UpCat(nn.Module):
     @nn.compact
     def __call__(self, rgb_skip, fusion, depth, train: bool = False):
         if self.layout == "bhcw":
-            from .aligned import AT, concat_c
+            from .aligned import AT, WS, concat_c
 
+            if isinstance(rgb_skip, WS):
+                # phase-split full-res stage: the upsample's rx phase planes
+                # ARE the split form (split_out — no d2s interleave), and the
+                # conv runs on [fout ‖ rgb_skip] as split-channel parts
+                assert isinstance(fusion, AT) and isinstance(depth, AT)
+                cat = concat_c(
+                    [depth, fusion],
+                    zero_tail=-(1 + fusion.logical_c) % 8,
+                )
+                fout = Basic2dTrans(
+                    self.features, dtype=self.dtype, backend=self.backend,
+                    fold_bn=self.fold_bn, layout=self.layout, split_out=True,
+                    name="upf",
+                )(cat, train)
+                return Basic2d(
+                    self.features, dtype=self.dtype, backend=self.backend,
+                    fold_bn=self.fold_bn, layout=self.layout, name="conv"
+                )([fout, rgb_skip], train)
             if isinstance(fusion, AT):
                 # aligned inference graph: [depth ‖ fusion] is one small
                 # concat (the 1-channel depth cannot be a separate DMA slab —
@@ -128,8 +146,27 @@ class NewFusionBlock(nn.Module):
             feats, dtype=self.dtype, backend=self.backend, layout=conv_layout,
             name=name,
         )
-        from .aligned import AT
+        from .aligned import AT, WS
 
+        if self.layout == "bhcw" and isinstance(rgb, WS):
+            # phase-split chain: same blocks on WS operands; the 1-channel
+            # depth pair pads its physical channels to a sublane granule
+            # (trailing zeros — the kernel zero-extends to match)
+            d8 = (
+                WS(
+                    jnp.pad(
+                        depth.arr,
+                        ((0, 0), (0, 0), (0, 8 - depth.arr.shape[2]), (0, 0)),
+                    ),
+                    depth.h, depth.w, depth.c,
+                )
+                if depth.arr.shape[2] < 8 else depth
+            )
+            rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
+            depth_feat = mk(self.rgb_channels, "depth_conv")(d8)
+            fused = mk(self.rgb_channels, "fuse_conv1")([rgb_feat, depth_feat])
+            fused = mk(self.features, "fuse_conv2")(fused)
+            return mk(self.features, "fuse_conv3")(fused)
         if self.layout == "bhcw" and isinstance(rgb, AT):
             # aligned-form chain: rgb/depth are ATs; the rgb‖depth feature
             # concat feeds the multi-input kernel directly (no HBM concat).
@@ -163,17 +200,31 @@ class NewFusionBlock(nn.Module):
         return fused
 
 
-def _downscale_depth(x, factor: int, layout: str, wp: int | None = None):
+def _downscale_depth(
+    x, factor: int, layout: str, wp: int | None = None, split: bool = False
+):
     """Bilinear downscale of the step-1 dense map. NHWC in/out for 'nhwc'.
     For 'bhcw' the input is the NHWC dense map and the result is a 1-channel
     (B, H, 1, W) tensor — a FREE reshape of the NHWC result (one channel:
     same element order) — as an aligned-form AT when ``wp`` is given
-    (inference graph) or a plain array otherwise (training graph)."""
+    (inference graph) or a plain array otherwise (training graph).
+    ``split=True`` returns the W-phase-split WS form (channels [ev|od], half
+    width ``wp``) for the phase-split full-res stage — a tiny 1-channel
+    deinterleave."""
     if layout == "bhcw":
-        from .aligned import AT, ensure_wp, to_aligned
+        from .aligned import AT, WS, ensure_wp, to_aligned
 
         y = downscale_bilinear(x, factor)
         b, h, w, _ = y.shape
+        if split:
+            assert wp is not None and w % 2 == 0
+            v = y.reshape(b, h, 1, w // 2, 2)
+            arr = jnp.concatenate([v[..., 0], v[..., 1]], axis=2)
+            if wp != w // 2:
+                arr = jnp.pad(
+                    arr, ((0, 0), (0, 0), (0, 0), (0, wp - w // 2))
+                )
+            return WS(arr, h, w, 1)
         y = y.reshape(b, h, 1, w)
         if wp is None:
             return y
@@ -227,8 +278,9 @@ class FusionResolutionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, rgb, dense_depth, prev_fusion, prev_depth, train: bool = False):
-        from .aligned import AT
+        from .aligned import AT, WS
 
+        split = self.layout == "bhcw" and isinstance(rgb, WS)
         aligned = self.layout == "bhcw" and isinstance(rgb, AT)
         fout = UpCat(
             self.in_channels, dtype=self.dtype, backend=self.backend,
@@ -236,7 +288,7 @@ class FusionResolutionBlock(nn.Module):
         )(rgb, prev_fusion, prev_depth, train)
         depth = _downscale_depth(
             dense_depth, self.downsample_factor, self.layout,
-            wp=rgb.wp if aligned else None,
+            wp=rgb.wp if (aligned or split) else None, split=split,
         )
         fout = NewFusionBlock(
             self.in_channels, self.features, dtype=self.dtype,
@@ -246,6 +298,10 @@ class FusionResolutionBlock(nn.Module):
             dtype=self.dtype, backend=self.backend, layout=self.layout,
             name="conv",
         )(fout)
+        if split:
+            from .aligned import ws_add
+
+            return fout, ws_add(depth, res)
         if aligned:
             from .aligned import add
 
@@ -333,14 +389,19 @@ class GuidedDepthNet(nn.Module):
 
         rgb = jnp.concatenate([rgb0, rgb1], axis=0)
         if bhcw and self.fold_bn:
-            from .aligned import from_aligned, to_aligned
+            from .aligned import WS, from_aligned, to_aligned, wmerge, wsplit
 
             # single real layout conversion of the graph (3-channel RGB);
             # everything downstream runs on aligned-form tensors — the one
             # entry pad here is the ONLY pad in the whole inference graph
             rgb_at = to_aligned(jnp.transpose(rgb, (0, 1, 3, 2)), channels=8)
             r0 = self.rgb_encoder0(rgb_at, train)   # H
-            r1 = self.rgb_encoder1(r0, train)       # H/2
+            # ONE W-phase split of r0 serves both full-res consumers: it IS
+            # encoder1's s2d px planes (py = cheap row slices) and the
+            # phase-split fuse3 stage's skip input — the only full-res lane
+            # deinterleave in the graph
+            r0s = wsplit(r0)
+            r1 = self.rgb_encoder1(r0s, train)      # H/2
             r2 = self.rgb_encoder2(r1, train)       # H/4
             r3 = self.rgb_encoder3(r2, train)       # H/8
 
@@ -349,10 +410,13 @@ class GuidedDepthNet(nn.Module):
             f0, d0 = self.fuse0(r3, dense)
             f1, d1 = self.fuse1(r2, dense, f0, d0, train)
             f2, d2 = self.fuse2(r1, dense, f1, d1, train)
-            _, d3 = self.fuse3(r0, dense, f2, d2, train)
-            to_nhwc = lambda d: from_aligned(d).reshape(
-                d.arr.shape[0], d.h, d.w, 1
-            )
+            # fuse3 runs entirely W-phase-split: its upsample's rx phase
+            # planes stay split (no d2s), every conv uses the wsplit kernel
+            # transform, and only the 1-channel d3 merges at the end
+            _, d3 = self.fuse3(r0s, dense, f2, d2, train)
+            to_nhwc = lambda d: from_aligned(
+                wmerge(d) if isinstance(d, WS) else d
+            ).reshape(d.arr.shape[0], d.h, d.w, 1)
             return tuple(to_nhwc(d) for d in (d0, d1, d2, d3))
         if bhcw:
             # plain-BHCW training graph: one 3-channel transpose at entry;

@@ -55,16 +55,21 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, params_only: bool = False):
-        from .aligned import AT
+        from .aligned import AT, WS
 
-        # x may be an AT, a list of ATs (logical channel concat fed to the
-        # multi-input kernel — no HBM concat), or a plain array
+        # x may be an AT, a WS (W-phase-split), a list of ATs or WSs (logical
+        # channel concat fed to the multi-input kernel — no HBM concat), or a
+        # plain array
         parts = (
-            [x] if isinstance(x, AT) else
+            [x] if isinstance(x, (AT, WS)) else
             list(x) if isinstance(x, (list, tuple)) else None
         )
-        aligned = parts is not None
-        if aligned:
+        split = parts is not None and isinstance(parts[0], WS)
+        aligned = parts is not None and not split
+        if split:
+            assert all(isinstance(p, WS) for p in parts)
+            cin = sum(p.c for p in parts)  # full-W logical channels
+        elif aligned:
             cin = sum(p.logical_c for p in parts)
         else:
             cin = x.shape[-1] if self.layout == "nhwc" else x.shape[2]
@@ -82,6 +87,31 @@ class Conv(nn.Module):
             # RGBEncoder block kernel) — keeps the param tree identical to
             # the unfused form
             return kernel, bias
+        if split:
+            # W-phase-split chain (full-res fusion stage): same params, the
+            # kernel transformed onto [even|odd] channel-block operands at
+            # half width — the lane interleave never materializes
+            from ..ops.convops import conv_kernel_wsplit
+            from ..ops.pallas_conv import conv2d_pallas_bhcw_aligned
+
+            assert self.backend == "pallas" and self.stride == 1
+            assert all(
+                (p.w, p.h, p.wp) == (parts[0].w, parts[0].h, parts[0].wp)
+                for p in parts
+            ), [(p.arr.shape, p.h, p.w) for p in parts]
+            dtype = self.dtype or parts[0].arr.dtype
+            n = min(p.arr.shape[1] for p in parts)
+            xin = [p.arr[:, :n].astype(dtype) for p in parts]
+            ksplit = conv_kernel_wsplit(
+                kernel.astype(dtype), [p.c for p in parts]
+            )
+            out, ho, _ = conv2d_pallas_bhcw_aligned(
+                xin, ksplit,
+                None if bias is None else jnp.tile(bias, 2),
+                w=parts[0].w // 2, h=parts[0].h, padding=self.padding,
+                relu=self.fuse_relu,
+            )
+            return WS(out, ho, parts[0].w, self.features)
         if aligned:
             # aligned-form inference chain: no XLA pads anywhere (see
             # ops/pallas_conv.py); halo synthesized in the kernel
@@ -266,6 +296,9 @@ class Basic2dTrans(nn.Module):
     backend: str = "xla"
     fold_bn: bool = False
     layout: str = "nhwc"
+    # aligned path: return the upsample as a W-phase-split WS (the rx phase
+    # planes ARE the split form — the d2s lane interleave never runs)
+    split_out: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -336,6 +369,15 @@ class Basic2dTrans(nn.Module):
             [p.arr.astype(dtype) for p in parts], kph, bias4,
             w=parts[0].w, h=parts[0].h, padding=1, relu=True,
         )
+        if self.split_out:
+            # (ry, rx, c) phase channels: the ry row merge is a FREE reshape
+            # and the rx planes [rx0 F | rx1 F] are exactly the W-phase-split
+            # channel blocks — no lane interleave at all
+            from .aligned import WS
+
+            b, alloc, c4, wp = out_ph.shape
+            rows = out_ph.reshape(b, 2 * alloc, c4 // 2, wp)
+            return WS(rows, 2 * ho, 2 * wo, self.features)
         return AT(depth_to_space_bhcw(out_ph, self.features), 2 * ho, 2 * wo)
 
 
@@ -361,9 +403,9 @@ class RGBEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.layout == "bhcw":
-            from .aligned import AT
+            from .aligned import AT, WS
 
-            if isinstance(x, AT):
+            if isinstance(x, (AT, WS)):
                 return self._fused_bhcw(x)
             if self.stride == 2:
                 # plain-BHCW training form: stride 2 via differentiable
@@ -444,8 +486,10 @@ class RGBEncoder(nn.Module):
         )
         from ..ops.pallas_conv import conv2d_pallas_bhcw_aligned
 
+        from .aligned import WS
+
         assert self.fold_bn and self.backend == "pallas"
-        assert isinstance(x, AT), "bhcw layout expects aligned-form input"
+        assert isinstance(x, (AT, WS)), "bhcw layout expects aligned-form input"
         # same submodule order as the unfused path -> identical param tree
         k_main, b_main = Conv(
             self.features, stride=self.stride, dtype=self.dtype,
@@ -459,6 +503,25 @@ class RGBEncoder(nn.Module):
 
         is_int = jnp.issubdtype(x.arr.dtype, jnp.integer)
         dtype = self.dtype or (jnp.float32 if is_int else x.arr.dtype)
+        if isinstance(x, WS):
+            # pre-split input (the shared r0 W-split): the s2d (py, px, c)
+            # phase parts are two cheap row slices of the [ev|od] channel
+            # stack — py from rows, px already in channels. Same kernel
+            # geometry as the 4-part form.
+            assert self.stride == 2 and x.c * 2 == x.arr.shape[2]
+            km = conv_kernel_s2d_aligned(k_main.astype(dtype))
+            ks = shortcut_kernel_s2d_aligned(k_short.astype(dtype))
+            kcat = jnp.concatenate([km, ks], -1)
+            b_, alloc, c2, wp = x.arr.shape
+            assert alloc % 2 == 0, alloc
+            v = x.arr.astype(dtype).reshape(b_, alloc // 2, 2, c2, wp)
+            out, ho, wo = conv2d_pallas_bhcw_aligned(
+                [v[:, :, 0], v[:, :, 1]], kcat, b_main.astype(dtype),
+                w=x.w // 2, h=x.h // 2,
+                pad_top=1, pad_bottom=0, pad_left=1, pad_right=0,
+                residual_channels=self.features,
+            )
+            return AT(out, ho, wo)
         # zero-extend kernels over the input's granule-padded channel tail
         cpad = x.channels - x.logical_c
         if cpad:

@@ -291,6 +291,50 @@ def shortcut_kernel_s2d(kernel: jax.Array, pad: int = 1) -> jax.Array:
     return out.at[0, 0, blk : blk + cin].set(kernel[0, 0])
 
 
+def conv_kernel_wsplit(kernel: jax.Array, in_channels: list[int]) -> jax.Array:
+    """Stride-1 kw∈{1,3} HWIO kernel over full-W operands -> the kernel over
+    W-phase-split operands (each input tensor stored as channel blocks
+    [even-lane c_i | odd-lane c_i] at half width; output channels
+    [even F | odd F]).
+
+    Derivation (kw=3, full-col taps dx∈{0,1,2} ≡ offsets {-1,0,+1}):
+      out_ev at full col 2k reads cols 2k-1, 2k, 2k+1 = od[k-1], ev[k], od[k]
+      out_od at full col 2k+1 reads 2k, 2k+1, 2k+2 = ev[k], od[k], ev[k+1]
+    i.e. a 3-tap half-width conv (pad 1) with the entries below. Same
+    arithmetic as the full conv — the W interleave never materializes; the
+    consuming aligned kernel synthesizes the half-width halo as usual.
+
+    ``in_channels`` lists each input tensor's per-phase channel count, in
+    part order (the physical channel axis is the concat of the tensors'
+    [ev|od] blocks).
+    """
+    kh, kw, cin, cout = kernel.shape
+    assert kw in (1, 3), kw
+    assert sum(in_channels) == cin, (in_channels, cin)
+    out = jnp.zeros((kh, kw, 2 * cin, 2 * cout), kernel.dtype)
+    off_full = 0  # channel offset in the full-W kernel
+    off_phys = 0  # physical offset of this tensor's [ev|od] block pair
+    for ci in in_channels:
+        kfull = kernel[:, :, off_full : off_full + ci]  # (kh, kw, ci, cout)
+        ev_in = slice(off_phys, off_phys + ci)
+        od_in = slice(off_phys + ci, off_phys + 2 * ci)
+        ev_out = slice(0, cout)
+        od_out = slice(cout, 2 * cout)
+        if kw == 1:
+            out = out.at[:, 0, ev_in, ev_out].set(kfull[:, 0])
+            out = out.at[:, 0, od_in, od_out].set(kfull[:, 0])
+        else:
+            out = out.at[:, 0, od_in, ev_out].set(kfull[:, 0])
+            out = out.at[:, 1, ev_in, ev_out].set(kfull[:, 1])
+            out = out.at[:, 1, od_in, ev_out].set(kfull[:, 2])
+            out = out.at[:, 1, ev_in, od_out].set(kfull[:, 0])
+            out = out.at[:, 1, od_in, od_out].set(kfull[:, 1])
+            out = out.at[:, 2, ev_in, od_out].set(kfull[:, 2])
+        off_full += ci
+        off_phys += 2 * ci
+    return out
+
+
 def convtranspose_kernel_phases(kernel: jax.Array) -> jax.Array:
     """4x4 HWIO transpose-conv kernel -> a 3x3 stride-1 kernel whose output
     channels stack the four stride-2 phases in (ry, rx, co) order; apply to
