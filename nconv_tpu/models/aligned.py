@@ -148,6 +148,16 @@ class WS(NamedTuple):
         return self.arr.shape[-1]
 
 
+class Shared(NamedTuple):
+    """Marker for a half-width operand whose 2x W nearest-repeat the full
+    conv would consume: fed to the kernel ONCE, with the repeat folded into
+    the tap coefficients (conv_kernel_wsplit_parts mode='shared') — the
+    upsample never materializes. ``at.w`` must equal half the consumer's
+    full logical width."""
+
+    at: AT
+
+
 def wsplit(at: AT) -> WS:
     """AT -> WS: the one lane deinterleave (minor (W/2, 2) reshape + unit
     slices), shared by every consumer of the split form."""

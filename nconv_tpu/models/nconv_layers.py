@@ -42,16 +42,24 @@ class NConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, data, conf):
-        from .aligned import AT
+        from .aligned import AT, WS, Shared
 
-        # data/conf may be ATs or parallel lists of ATs (logical channel
-        # concat fed to the multi-input kernel — no HBM concat)
+        # data/conf may be ATs, WSs / Shared markers (W-phase-split chain),
+        # or parallel lists thereof (logical channel concat fed to the
+        # multi-input kernel — no HBM concat)
         d_parts = (
-            [data] if isinstance(data, AT) else
+            [data] if isinstance(data, (AT, WS, Shared)) else
             list(data) if isinstance(data, (list, tuple)) else None
         )
-        aligned = d_parts is not None
-        if aligned:
+        split = d_parts is not None and any(
+            isinstance(p, (WS, Shared)) for p in d_parts
+        )
+        aligned = d_parts is not None and not split
+        if split:
+            cin = sum(
+                p.c if isinstance(p, WS) else p.at.logical_c for p in d_parts
+            )
+        elif aligned:
             cin = sum(p.logical_c for p in d_parts)
         else:
             ch_axis = 2 if self.layout == "bhcw" else -1
@@ -63,6 +71,50 @@ class NConv2d(nn.Module):
         bias = self.param(
             "bias", nn.initializers.constant(self.bias_value), (self.features,)
         )
+        if split:
+            # W-phase-split chain: same params, the positive kernel
+            # re-expressed over [even|odd] channel-block operands at half
+            # width (Shared parts fold a 2x nearest-repeat into the taps)
+            from ..ops.convops import conv_kernel_wsplit_parts
+            from ..ops.pallas_nconv_mxu import nconv2d_pallas_aligned
+
+            assert self.backend == "pallas" and self.stride == 1
+            c_parts = [conf] if isinstance(conf, (WS, Shared)) else list(conf)
+            spec = [
+                ("split", p.c) if isinstance(p, WS)
+                else ("shared", p.at.logical_c)
+                for p in d_parts
+            ]
+            w_full = next(
+                p.w for p in d_parts if isinstance(p, WS)
+            )
+            arrs = []
+            for p in d_parts + c_parts:
+                if isinstance(p, WS):
+                    assert p.w == w_full
+                    arrs.append(p.arr)
+                else:
+                    assert 2 * p.at.w == w_full, (p.at.w, w_full)
+                    arrs.append(p.at.arr)
+            n = min(a.shape[1] for a in arrs)
+            h_l = next(p.h for p in d_parts if isinstance(p, WS))
+            dtype = self.dtype or arrs[0].dtype
+            arrs = [a[:, :n].astype(dtype) for a in arrs]
+            nd = len(d_parts)
+            out, carr, ho, wo = nconv2d_pallas_aligned(
+                arrs[:nd], arrs[nd:],
+                kernel.astype(dtype),
+                jnp.tile(bias.astype(dtype), 2),  # [ev F | od F] outputs
+                w=w_full // 2, h=h_l, padding=self.padding,
+                pos_fn=self.pos_fn, eps=self.eps,
+                kernel_transform=lambda wp: conv_kernel_wsplit_parts(
+                    wp, spec, self.padding
+                ),
+            )
+            return (
+                WS(out, ho, 2 * wo, self.features),
+                WS(carr, ho, 2 * wo, self.features),
+            )
         if aligned:
             # aligned-form inference chain — no XLA pads (ops/pallas_nconv_mxu)
             from .aligned import _match_rows

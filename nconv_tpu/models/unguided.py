@@ -138,17 +138,42 @@ class NConvUNet(nn.Module):
     def _aligned_graph(self, sparse, mk, b: int, h: int, w: int):
         """Aligned-form body: identical math and param tree to the bhcw
         path, but every inter-layer tensor is aligned-form and the graph
-        contains exactly ONE pad (the 1-channel entry) and one crop."""
-        from .aligned import AT, realign, to_aligned
+        contains exactly ONE pad (the 1-channel entry) and one crop.
+
+        The full-resolution level runs W-PHASE-SPLIT (WS: channel blocks
+        [even|odd] at half width): the entry split is a tiny 1-channel
+        deinterleave, nconv1/2/6/7 use wsplit-transformed kernels, the
+        first pool's 2x2 max is pure elementwise on the split form, and
+        nconv6's decoder upsample feeds the HALF-width source as a 'shared'
+        kernel part (W-repeat folded into the taps) — so no full-width lane
+        interleave or repeat ever materializes; only the 1-channel output
+        merges."""
+        from .aligned import AT, Shared, WS, _round_up, realign, wmerge
 
         c = self.num_channels
-        # channels padded to the granule: Mosaic DMA slabs on the sublane
-        # dim must be tile-aligned (a 1-channel slab is rejected)
-        x0 = to_aligned(sparse.reshape(b, h, 1, w), channels=4)
-        c0 = AT((x0.arr > CONF_THRESHOLD).astype(sparse.dtype), h, w, x0.c)
+        # entry: 1-ch split, channels padded to the granule (Mosaic DMA
+        # slabs on the sublane dim must be tile-aligned)
+        wh = w // 2
+        whp = _round_up(wh, 128)
+        v = sparse.reshape(b, h, 1, wh, 2)
+        arr = jnp.concatenate([v[..., 0], v[..., 1]], axis=2)
+        arr = jnp.pad(arr, ((0, 0), (0, 0), (0, 2), (0, whp - wh)))
+        x0 = WS(arr, h, w, 1)
+        c0 = WS((arr > CONF_THRESHOLD).astype(sparse.dtype), h, w, 1)
 
         x1, c1 = mk(c, 5, 2, name="nconv1")(x0, c0)
         x1, c1 = mk(c, 5, 2, name="nconv2")(x1, c1)
+
+        def pool_ws(t: WS) -> AT:
+            # 2x2 max on the split form: row pair via a non-minor reshape,
+            # lane pair = elementwise max of the phase channel blocks; the
+            # contiguous half-width result IS the next level's tensor
+            b_, alloc, c2, wp = t.arr.shape
+            assert alloc % 2 == 0 and c2 == 2 * t.c
+            vv = t.arr.reshape(b_, alloc // 2, 2, c2, wp)
+            m = jnp.maximum(vv[:, :, 0], vv[:, :, 1])
+            m = jnp.maximum(m[:, :, : t.c], m[:, :, t.c :])
+            return realign(AT(m, t.h // 2, t.w // 2))
 
         def pool(x, cc):
             xp, cp = max_pool_pair(x.arr, cc.arr, layout="bhcw")
@@ -164,7 +189,12 @@ class NConvUNet(nn.Module):
             arr = jnp.repeat(jnp.repeat(t.arr, 2, axis=1), 2, axis=3)
             return AT(arr, 2 * t.h, 2 * t.w, t.c)
 
-        x1d, c1d = pool(x1, c1)
+        def up_rows(t: AT) -> Shared:
+            # rows repeat in XLA (cheap sublane copies); the W repeat never
+            # materializes — it folds into the consumer's tap coefficients
+            return Shared(AT(jnp.repeat(t.arr, 2, axis=1), 2 * t.h, t.w, t.c))
+
+        x1d, c1d = pool_ws(x1), pool_ws(c1)
         x2, c2 = mk(c, 5, 2, name="nconv_down1")(x1d, c1d)
         x2d, c2d = pool(x2, c2)
         x3, c3 = mk(c, 5, 2, name="nconv_down2")(x2d, c2d)
@@ -180,13 +210,15 @@ class NConvUNet(nn.Module):
             [x2, up2(x34, x2)], [c2, up2(c34, c2)]
         )
         xout, cout = mk(c, 3, 0, name="nconv6")(
-            [up2(x23, x1), x1], [up2(c23, c1), c1]
+            [up_rows(x23), x1], [up_rows(c23), c1]
         )  # (H-2, W-2)
         xout, cout = mk(1, 1, 2, init="k", name="nconv7")(xout, cout)
 
-        # Center-recover the input size: [1:H+1, 1:W+1] (one small 1-ch crop)
-        dense = xout.arr[:, 1 : h + 1, :, 1 : w + 1].reshape(b, h, w, 1)
-        conf = cout.arr[:, 1 : h + 1, :, 1 : w + 1].reshape(b, h, w, 1)
+        # Center-recover the input size: [1:H+1, 1:W+1] — merge the tiny
+        # 1-channel split outputs, then one small crop
+        xa, ca = wmerge(xout), wmerge(cout)
+        dense = xa.arr[:, 1 : h + 1, :, 1 : w + 1].reshape(b, h, w, 1)
+        conf = ca.arr[:, 1 : h + 1, :, 1 : w + 1].reshape(b, h, w, 1)
         return dense, conf
 
 

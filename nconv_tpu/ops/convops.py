@@ -291,48 +291,78 @@ def shortcut_kernel_s2d(kernel: jax.Array, pad: int = 1) -> jax.Array:
     return out.at[0, 0, blk : blk + cin].set(kernel[0, 0])
 
 
-def conv_kernel_wsplit(kernel: jax.Array, in_channels: list[int]) -> jax.Array:
-    """Stride-1 kw∈{1,3} HWIO kernel over full-W operands -> the kernel over
-    W-phase-split operands (each input tensor stored as channel blocks
-    [even-lane c_i | odd-lane c_i] at half width; output channels
-    [even F | odd F]).
+def conv_kernel_wsplit_parts(
+    kernel: jax.Array,
+    parts: list[tuple[str, int]],
+    pad: int,
+) -> tuple[jax.Array, int, int]:
+    """Stride-1 HWIO kernel over full-W operands -> the kernel over
+    W-phase-split operands. Returns ``(kernel', pad_left', pad_right')`` for
+    a half-width conv whose output channels are [even F | odd F].
 
-    Derivation (kw=3, full-col taps dx∈{0,1,2} ≡ offsets {-1,0,+1}):
-      out_ev at full col 2k reads cols 2k-1, 2k, 2k+1 = od[k-1], ev[k], od[k]
-      out_od at full col 2k+1 reads 2k, 2k+1, 2k+2 = ev[k], od[k], ev[k+1]
-    i.e. a 3-tap half-width conv (pad 1) with the entries below. Same
-    arithmetic as the full conv — the W interleave never materializes; the
-    consuming aligned kernel synthesizes the half-width halo as usual.
+    ``parts`` lists ``(mode, c_i)`` per input tensor, in part order:
+      * ``'split'`` — the tensor is stored as channel blocks
+        [even-lane c_i | odd-lane c_i] at half width (2*c_i physical);
+      * ``'shared'`` — the tensor is a half-width array whose 2x W-repeat
+        the full conv would consume (nearest upsample): both output phases
+        read the SAME c_i physical channels, with the repeat folded into
+        the tap coefficients (e.g. a [K0,K1,K2] row becomes K0 at δ=-1 and
+        K1+K2 at δ=0 for the even phase).
 
-    ``in_channels`` lists each input tensor's per-phase channel count, in
-    part order (the physical channel axis is the concat of the tensors'
-    [ev|od] blocks).
+    Derivation: output phase q ∈ {0,1} at half-col k is full col 2k+q; full
+    tap dx reads full col 2k+q-pad+dx = phase ``(q-pad+dx) % 2`` at half-col
+    k + δ, δ = floor((q-pad+dx)/2) — for a shared part the source col is
+    floor((2k+q-pad+dx)/2) - k regardless of phase. Same arithmetic as the
+    full conv; the W interleave never materializes (the aligned kernel
+    synthesizes the half-width halo from the zero margins).
     """
     kh, kw, cin, cout = kernel.shape
-    assert kw in (1, 3), kw
-    assert sum(in_channels) == cin, (in_channels, cin)
-    out = jnp.zeros((kh, kw, 2 * cin, 2 * cout), kernel.dtype)
-    off_full = 0  # channel offset in the full-W kernel
-    off_phys = 0  # physical offset of this tensor's [ev|od] block pair
-    for ci in in_channels:
+    assert sum(c for _, c in parts) == cin, (parts, cin)
+    # full w_out = w + 2*pad - (kw-1) must split evenly into the two phases
+    assert (2 * pad - kw + 1) % 2 == 0, (kw, pad)
+    # tap range over both phases
+    deltas = sorted({(q - pad + dx) // 2 for q in (0, 1) for dx in range(kw)})
+    dmin, dmax = deltas[0], deltas[-1]
+    kwp = dmax - dmin + 1
+    # per-phase width: w_out/2 = w/2 + pad_l' + pad_r' - (kwp-1)
+    pad_r = (2 * pad - kw + 1) // 2 + kwp - 1 + dmin
+    out = jnp.zeros(
+        (kh, kwp, sum((2 if m == "split" else 1) * c for m, c in parts),
+         2 * cout),
+        kernel.dtype,
+    )
+    off_full = 0
+    off_phys = 0
+    for mode, ci in parts:
         kfull = kernel[:, :, off_full : off_full + ci]  # (kh, kw, ci, cout)
-        ev_in = slice(off_phys, off_phys + ci)
-        od_in = slice(off_phys + ci, off_phys + 2 * ci)
-        ev_out = slice(0, cout)
-        od_out = slice(cout, 2 * cout)
-        if kw == 1:
-            out = out.at[:, 0, ev_in, ev_out].set(kfull[:, 0])
-            out = out.at[:, 0, od_in, od_out].set(kfull[:, 0])
-        else:
-            out = out.at[:, 0, od_in, ev_out].set(kfull[:, 0])
-            out = out.at[:, 1, ev_in, ev_out].set(kfull[:, 1])
-            out = out.at[:, 1, od_in, ev_out].set(kfull[:, 2])
-            out = out.at[:, 1, ev_in, od_out].set(kfull[:, 0])
-            out = out.at[:, 1, od_in, od_out].set(kfull[:, 1])
-            out = out.at[:, 2, ev_in, od_out].set(kfull[:, 2])
+        for q in (0, 1):
+            q_out = slice(q * cout, (q + 1) * cout)
+            for dx in range(kw):
+                s = q - pad + dx
+                if mode == "split":
+                    ph = s % 2
+                    d = (s - ph) // 2
+                    blk = slice(off_phys + ph * ci, off_phys + (ph + 1) * ci)
+                else:  # shared: floor-divide source col, phase-independent
+                    d = s // 2  # python floor handles negatives
+                    blk = slice(off_phys, off_phys + ci)
+                out = out.at[:, d - dmin, blk, q_out].add(kfull[:, dx])
         off_full += ci
-        off_phys += 2 * ci
-    return out
+        off_phys += (2 if mode == "split" else 1) * ci
+    return out, -dmin, pad_r
+
+
+def conv_kernel_wsplit(kernel: jax.Array, in_channels: list[int]) -> jax.Array:
+    """All-'split' wrapper of :func:`conv_kernel_wsplit_parts` for the
+    symmetric-pad guided fusion convs (pad = (kw-1)//2, so pad' = pad and
+    the caller keeps its ``padding`` argument unchanged)."""
+    kh, kw, _, _ = kernel.shape
+    pad = (kw - 1) // 2
+    k2, pl, pr = conv_kernel_wsplit_parts(
+        kernel, [("split", c) for c in in_channels], pad
+    )
+    assert (pl, pr) == (pad, pad), (pl, pr, pad)
+    return k2
 
 
 def convtranspose_kernel_phases(kernel: jax.Array) -> jax.Array:

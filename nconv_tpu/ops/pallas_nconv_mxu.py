@@ -325,19 +325,31 @@ def nconv2d_pallas_aligned(
     pos_fn: str = "softplus",
     eps: float = EPS_DEFAULT,
     tile_h: int | None = None,
+    kernel_transform=None,
 ) -> tuple[jax.Array, jax.Array, int, int]:
     """Aligned-form normalized conv: operands (B, Hx, cin, Wp) with data at
     rows [0, h) x lanes [0, w), zeros elsewhere (cin % 4 == 0). Returns
     ``(out, conf_out, h_out, w_out)`` in aligned form — no XLA pads.
-    Inference-only (training uses :func:`nconv2d_pallas_mxu_bhcw`)."""
+    Inference-only (training uses :func:`nconv2d_pallas_mxu_bhcw`).
+
+    ``kernel_transform(w_pos) -> (w', pad_left, pad_right)`` re-expresses the
+    positive kernel over a different operand form (the W-phase-split graph:
+    ops.convops.conv_kernel_wsplit_parts). It runs AFTER pos_fn — the split
+    kernel's structural zeros must stay exact zeros — and overrides the
+    horizontal pads; vertical padding stays ``padding``. The confidence
+    normalizer sum(w') per output channel equals the original sum by
+    construction, so the epilogue needs no change."""
     data_parts = list(data) if isinstance(data, (list, tuple)) else [data]
     conf_parts = list(conf) if isinstance(conf, (list, tuple)) else [conf]
-    kh, kw, cin, _ = kernel.shape
     p = padding
     h_in = data_parts[0].shape[1] if h is None else h
-    h_out = h_in + 2 * p - (kh - 1)
-    w_out = w + 2 * p - (kw - 1)
     w_pos = POS_FNS[pos_fn](kernel)
+    pl, pr = p, p
+    if kernel_transform is not None:
+        w_pos, pl, pr = kernel_transform(w_pos)
+    kh, kw, cin, _ = w_pos.shape
+    h_out = h_in + 2 * p - (kh - 1)
+    w_out = w + pl + pr - (kw - 1)
     cin_total = sum(dp.shape[2] for dp in data_parts)
     cin_alloc = max(_round_up(cin_total, 4), 4)
     assert cin <= cin_total, (cin, [dp.shape for dp in data_parts])
@@ -358,7 +370,7 @@ def nconv2d_pallas_aligned(
         w_pos = jnp.pad(w_pos, ((0, 0), (0, 0), (0, cin_alloc - cin), (0, 0)))
     out, carr = _nconv_core(
         data_parts, conf_parts, w_pos, bias,
-        pad_top=p, pad_left=p, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
+        pad_top=p, pad_left=pl, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=_round_up(w_out, 128), eps=eps, tile_h=tile_h,
         aligned_out=True,
     )
