@@ -411,15 +411,19 @@ def cmd_bench(args) -> int:
         d = np.asarray(rng.random((1, h, w, 1)), np.float32)
         variables = GuidedDepthNet().init(jax.random.key(0), rgb, d, rgb, d)
     if args.throughput:
-        # BASELINE config #5: batched multi-stream bf16 throughput
-        fps = benchmark_throughput(
-            variables,
-            height=h,
-            width=w,
-            batch=args.batch,
-            model=GuidedDepthNet(
-                backend=backend, dtype=jnp.bfloat16, step1_pos_fn=args.pos_fn
+        # BASELINE config #5: batched multi-stream bf16 throughput — same
+        # folded mixed-precision engine model bench.py measures
+        from .models import maybe_fold
+
+        tmodel, tvars = maybe_fold(
+            GuidedDepthNet(
+                backend=backend, dtype=jnp.bfloat16, step1_dtype=jnp.float32,
+                step1_pos_fn=args.pos_fn,
             ),
+            variables,
+        )
+        fps = benchmark_throughput(
+            tvars, height=h, width=w, batch=args.batch, model=tmodel
         )
         print(json.dumps({"throughput_fps": round(fps, 2), "batch": args.batch}))
         return 0

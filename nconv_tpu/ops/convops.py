@@ -316,8 +316,16 @@ def conv_kernel_wsplit_parts(
     full conv; the W interleave never materializes (the aligned kernel
     synthesizes the half-width halo from the zero margins).
     """
+    # spec entries: (mode, c) or (mode, c, phys) — phys above the natural
+    # block width declares trailing zero channels INSIDE the part (granule
+    # padding of a part that is not last; the kernel gets zero taps there)
+    specs = [
+        (p[0], p[1],
+         p[2] if len(p) > 2 else (2 if p[0] == "split" else 1) * p[1])
+        for p in parts
+    ]
     kh, kw, cin, cout = kernel.shape
-    assert sum(c for _, c in parts) == cin, (parts, cin)
+    assert sum(c for _, c, _ in specs) == cin, (parts, cin)
     # full w_out = w + 2*pad - (kw-1) must split evenly into the two phases
     assert (2 * pad - kw + 1) % 2 == 0, (kw, pad)
     # tap range over both phases
@@ -327,13 +335,11 @@ def conv_kernel_wsplit_parts(
     # per-phase width: w_out/2 = w/2 + pad_l' + pad_r' - (kwp-1)
     pad_r = (2 * pad - kw + 1) // 2 + kwp - 1 + dmin
     out = jnp.zeros(
-        (kh, kwp, sum((2 if m == "split" else 1) * c for m, c in parts),
-         2 * cout),
-        kernel.dtype,
+        (kh, kwp, sum(ph for _, _, ph in specs), 2 * cout), kernel.dtype
     )
     off_full = 0
     off_phys = 0
-    for mode, ci in parts:
+    for mode, ci, phys in specs:
         kfull = kernel[:, :, off_full : off_full + ci]  # (kh, kw, ci, cout)
         for q in (0, 1):
             q_out = slice(q * cout, (q + 1) * cout)
@@ -348,7 +354,7 @@ def conv_kernel_wsplit_parts(
                     blk = slice(off_phys, off_phys + ci)
                 out = out.at[:, d - dmin, blk, q_out].add(kfull[:, dx])
         off_full += ci
-        off_phys += (2 if mode == "split" else 1) * ci
+        off_phys += phys
     return out, -dmin, pad_r
 
 

@@ -239,3 +239,165 @@ def test_filtergrad_kernel_matches_xla(shape, kk, p, co):
         np.asarray(got), np.asarray(ref),
         atol=float(jnp.max(jnp.abs(ref))) * 1e-4 + 1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# W-phase-split form (round 3): conv_kernel_wsplit_parts re-expresses a
+# stride-1 kernel over [even|odd] channel-block operands at half width —
+# including 'shared' parts whose 2x nearest W-repeat folds into the taps.
+# ---------------------------------------------------------------------------
+
+def _split_w_nhwc(x):
+    return jnp.concatenate([x[:, :, 0::2], x[:, :, 1::2]], axis=-1)
+
+
+def _conv_nhwc(x, k, pads):
+    (pt, pb), (pl_, pr) = pads
+    return lax.conv_general_dilated(
+        x, k, (1, 1), ((pt, pb), (pl_, pr)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@pytest.mark.parametrize(
+    "kh,kw,pad", [(3, 3, 1), (3, 3, 0), (5, 5, 2), (1, 1, 2), (1, 1, 0)]
+)
+def test_wsplit_kernel_transform_matches_full_conv(kh, kw, pad):
+    """Pure kernel-space check (no Pallas): the transformed kernel applied
+    to phase-split NHWC operands reproduces the full-width conv for every
+    (kw, pad) used in the graph (3x3 p1/p0, the 5x5 p2 nconvs, the 1x1 p2
+    nconv7)."""
+    from nconv_tpu.ops.convops import conv_kernel_wsplit_parts
+
+    h, w, ci, co = 12, 20, 5, 7
+    x = jnp.asarray(rng.standard_normal((2, h, w, ci)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kh, kw, ci, co)) * 0.2, jnp.float32)
+    ref = _conv_nhwc(x, k, ((pad, pad), (pad, pad)))
+    k2, pl_, pr = conv_kernel_wsplit_parts(k, [("split", ci)], pad)
+    out = _conv_nhwc(_split_w_nhwc(x), k2, ((pad, pad), (pl_, pr)))
+    ev, od = out[..., :co], out[..., co:]
+    got = jnp.stack([ev, od], axis=3).reshape(ref.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_wsplit_shared_part_folds_nearest_repeat():
+    """A 'shared' part consumes the HALF-width source whose 2x W-repeat the
+    full conv would see (step-1's decoder upsample feeding nconv6) — the
+    repeat never materializes; pad-0 exercises nconv6's exact geometry."""
+    from nconv_tpu.ops.convops import conv_kernel_wsplit_parts
+
+    h, w, cs, ci, co = 12, 20, 3, 5, 7
+    src = jnp.asarray(rng.standard_normal((2, h, w // 2, cs)), jnp.float32)
+    skip = jnp.asarray(rng.standard_normal((2, h, w, ci)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, cs + ci, co)) * 0.2, jnp.float32)
+    rep = jnp.repeat(src, 2, axis=2)
+    ref = _conv_nhwc(jnp.concatenate([rep, skip], -1), k, ((0, 0), (0, 0)))
+    k2, pl_, pr = conv_kernel_wsplit_parts(
+        k, [("shared", cs), ("split", ci)], 0
+    )
+    xin = jnp.concatenate([src, _split_w_nhwc(skip)], axis=-1)
+    out = _conv_nhwc(xin, k2, ((0, 0), (pl_, pr)))
+    ev, od = out[..., :co], out[..., co:]
+    got = jnp.stack([ev, od], axis=3).reshape(ref.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_wsplit_interior_pad_channels():
+    """A (mode, c, phys) spec declares trailing zero channels INSIDE a part
+    (granule padding of a non-last part): the transform zero-fills those
+    kernel channels, so the binding of later parts stays correct."""
+    from nconv_tpu.ops.convops import conv_kernel_wsplit_parts
+
+    h, w, co = 10, 16, 4
+    d = jnp.asarray(rng.standard_normal((1, h, w, 1)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 4, co)) * 0.2, jnp.float32)
+    ref = _conv_nhwc(jnp.concatenate([d, f], -1), k, ((1, 1), (1, 1)))
+    k2, pl_, pr = conv_kernel_wsplit_parts(
+        k, [("split", 1, 8), ("split", 3)], 1
+    )
+    d_split = _split_w_nhwc(d)  # (.., 2)
+    d8 = jnp.pad(d_split, ((0, 0), (0, 0), (0, 0), (0, 6)))
+    xin = jnp.concatenate([d8, _split_w_nhwc(f)], axis=-1)
+    out = _conv_nhwc(xin, k2, ((1, 1), (pl_, pr)))
+    ev, od = out[..., :co], out[..., co:]
+    got = jnp.stack([ev, od], axis=3).reshape(ref.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_aligned_conv_wsplit_matches_full_width():
+    """The aligned Pallas kernel fed split parts + the transformed kernel
+    == the full-width aligned conv (interpret mode)."""
+    from nconv_tpu.ops.convops import conv_kernel_wsplit
+
+    B, h, c, w, f = 1, 12, 8, 136, 16
+    x = jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, c, f)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((f,)), jnp.float32)
+    # split (B,H,C,W) -> channels [ev|od] at half width, lanes realigned
+    v = x.reshape(B, h, c, w // 2, 2)
+    xs = jnp.concatenate([v[..., 0], v[..., 1]], axis=2)
+    xs = _pad_lanes(xs)
+    k2 = conv_kernel_wsplit(k, [c])
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv2d_pallas_bhcw_aligned(
+            xs, k2, jnp.tile(b, 2), w=w // 2, padding=1, relu=True
+        )
+        ref, hr, wr = conv2d_pallas_bhcw_aligned(
+            _pad_lanes(x), k, b, w=w, padding=1, relu=True
+        )
+    # interleave got's phase blocks back to full width
+    ev, od = got[:, :ho, :f, :wo], got[:, :ho, f:, :wo]
+    merged = jnp.stack([ev, od], -1).reshape(B, ho, f, 2 * wo)
+    np.testing.assert_allclose(
+        np.asarray(merged), np.asarray(ref[:, :hr, :, :wr]), atol=1e-4
+    )
+
+
+def test_aligned_nconv_wsplit_shared_matches_full():
+    """nconv2d_pallas_aligned with kernel_transform: [shared-upsample ;
+    split-skip] parts == the full-width nconv on [repeat ; skip] (the
+    step-1 nconv6 geometry, pad 0), confidence included."""
+    from nconv_tpu.ops.convops import conv_kernel_wsplit_parts
+
+    B, h, w, c = 1, 12, 136, 8
+    src_d = jnp.asarray(rng.random((B, h, w // 2, c)), jnp.float32)
+    src_c = jnp.asarray(rng.random((B, h, w // 2, c)) > 0.4, jnp.float32)
+    skip_d = jnp.asarray(rng.random((B, h, w, c)), jnp.float32)
+    skip_c = jnp.asarray(rng.random((B, h, w, c)) > 0.4, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 2 * c, c)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.random((c,)) * 0.01, jnp.float32)
+
+    def bhcw(x):
+        return jnp.transpose(x, (0, 1, 3, 2))
+
+    def split(x):  # NHWC -> (B,H,[ev|od],W/2) bhcw, lanes aligned
+        v = bhcw(x).reshape(B, h, c, w // 2, 2)
+        return _pad_lanes(jnp.concatenate([v[..., 0], v[..., 1]], axis=2))
+
+    spec = [("shared", c), ("split", c)]
+    with pltpu.force_tpu_interpret_mode():
+        got_x, got_c, ho, wo = nconv2d_pallas_aligned(
+            [_pad_lanes(bhcw(src_d)), split(skip_d)],
+            [_pad_lanes(bhcw(src_c)), split(skip_c)],
+            k, jnp.tile(b, 2), w=w // 2, padding=0, pos_fn="softplus",
+            kernel_transform=lambda wp: conv_kernel_wsplit_parts(wp, spec, 0),
+        )
+        rep_d = jnp.repeat(src_d, 2, axis=2)
+        rep_c = jnp.repeat(src_c, 2, axis=2)
+        ref_x, ref_c, hr, wr = nconv2d_pallas_aligned(
+            [_pad_lanes(bhcw(jnp.concatenate([rep_d, skip_d], -1)))],
+            [_pad_lanes(bhcw(jnp.concatenate([rep_c, skip_c], -1)))],
+            k, b, w=w, padding=0, pos_fn="softplus",
+        )
+
+    def merge(o):
+        ev, od = o[:, :ho, :c, :wo], o[:, :ho, c:2*c, :wo]
+        return jnp.stack([ev, od], -1).reshape(B, ho, c, 2 * wo)
+
+    np.testing.assert_allclose(
+        np.asarray(merge(got_x)), np.asarray(ref_x[:, :hr, :, :wr]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(merge(got_c)), np.asarray(ref_c[:, :hr, :, :wr]), atol=1e-4
+    )
