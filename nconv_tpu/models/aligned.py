@@ -172,6 +172,27 @@ def wsplit(at: AT) -> WS:
     return WS(arr, at.h, at.w, c)
 
 
+def wsplit_entry(x: jax.Array, c: int) -> WS:
+    """Channel-exact (B, H, c, W) ENTRY tensor -> WS with channel layout
+    [ev c | od c | zero pad to granule] at half width.
+
+    Splitting at the wire (3-channel u8 RGB, ~1.3 MB/stream) costs two
+    copies of a tiny tensor; splitting the 32-channel encoder OUTPUT costs
+    the same two copies of 58 MB — so the split moves upstream of the
+    channel expansion and the first encoder runs split end-to-end."""
+    b, h, cc, w = x.shape
+    assert cc == c and w % 2 == 0, (x.shape, c)
+    v = x.reshape(b, h, c, w // 2, 2)
+    arr = jnp.concatenate([v[..., 0], v[..., 1]], axis=2)
+    wq = _round_up(w // 2, 128)
+    pad_c = _round_up(2 * c, 8) - 2 * c
+    if pad_c or wq != w // 2:
+        arr = jnp.pad(
+            arr, ((0, 0), (0, 0), (0, pad_c), (0, wq - w // 2))
+        )
+    return WS(arr, h, w, c)
+
+
 def wmerge(ws: WS) -> AT:
     """WS -> AT: one lane interleave. Only used on the tiny 1-channel final
     depth; everything wide stays split."""

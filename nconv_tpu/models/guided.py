@@ -389,18 +389,16 @@ class GuidedDepthNet(nn.Module):
 
         rgb = jnp.concatenate([rgb0, rgb1], axis=0)
         if bhcw and self.fold_bn:
-            from .aligned import WS, from_aligned, to_aligned, wmerge, wsplit
+            from .aligned import WS, from_aligned, wmerge, wsplit_entry
 
-            # single real layout conversion of the graph (3-channel RGB);
-            # everything downstream runs on aligned-form tensors — the one
-            # entry pad here is the ONLY pad in the whole inference graph
-            rgb_at = to_aligned(jnp.transpose(rgb, (0, 1, 3, 2)), channels=8)
-            r0 = self.rgb_encoder0(rgb_at, train)   # H
-            # ONE W-phase split of r0 serves both full-res consumers: it IS
-            # encoder1's s2d px planes (py = cheap row slices) and the
-            # phase-split fuse3 stage's skip input — the only full-res lane
-            # deinterleave in the graph
-            r0s = wsplit(r0)
+            # the W-phase split happens AT THE WIRE (3-channel u8 RGB,
+            # ~2.6 MB) instead of on the 32-channel encoder output (58 MB):
+            # encoder0 runs split end-to-end and its output IS the shared
+            # r0 split serving encoder1's s2d (py = cheap row slices) and
+            # the phase-split fuse3 skip — no full-width lane deinterleave
+            # anywhere in the graph
+            rgb_ws = wsplit_entry(jnp.transpose(rgb, (0, 1, 3, 2)), 3)
+            r0s = self.rgb_encoder0(rgb_ws, train)  # H, WS(c=32)
             r1 = self.rgb_encoder1(r0s, train)      # H/2
             r2 = self.rgb_encoder2(r1, train)       # H/4
             r3 = self.rgb_encoder3(r2, train)       # H/8

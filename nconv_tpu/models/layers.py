@@ -503,6 +503,29 @@ class RGBEncoder(nn.Module):
 
         is_int = jnp.issubdtype(x.arr.dtype, jnp.integer)
         dtype = self.dtype or (jnp.float32 if is_int else x.arr.dtype)
+        if isinstance(x, WS) and self.stride == 1:
+            # split-input stride-1 residual block (the entry encoder on
+            # wire-split RGB): wsplit kernel with outputs permuted to
+            # [main ev, main od | short ev, short od] so the fused residual
+            # epilogue pairs phases correctly; the result IS the shared
+            # r0 split — the 58 MB encoder-output deinterleave never runs
+            from ..ops.convops import conv_kernel_wsplit_parts
+
+            F = self.features
+            k_sh3 = jnp.zeros_like(k_main).at[1, 1].set(k_short[0, 0])
+            kcat = jnp.concatenate([k_main, k_sh3], -1).astype(dtype)
+            k2, pl_, pr = conv_kernel_wsplit_parts(
+                kcat, [("split", x.c, x.arr.shape[2])], 1
+            )
+            k2 = k2.reshape(k2.shape[:3] + (2, 2, F))  # (.., q, m/s, F)
+            k2 = jnp.swapaxes(k2, 3, 4).reshape(k2.shape[:3] + (4 * F,))
+            xin = x.arr if is_int else x.arr.astype(dtype)
+            out, ho, wo = conv2d_pallas_bhcw_aligned(
+                xin, k2, jnp.tile(b_main.astype(dtype), 2),
+                w=x.w // 2, h=x.h, pad_left=pl_, pad_right=pr, padding=1,
+                residual_channels=2 * F,
+            )
+            return WS(out, ho, 2 * wo, F)
         if isinstance(x, WS):
             # pre-split input (the shared r0 W-split): the s2d (py, px, c)
             # phase parts are two cheap row slices of the [ev|od] channel
