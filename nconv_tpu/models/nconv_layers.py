@@ -88,19 +88,23 @@ class NConv2d(nn.Module):
             w_full = next(
                 p.w for p in d_parts if isinstance(p, WS)
             )
+            h_l = next(p.h for p in d_parts if isinstance(p, WS))
             arrs = []
             for p in d_parts + c_parts:
                 if isinstance(p, WS):
                     assert p.w == w_full
                     arrs.append(p.arr)
                 else:
+                    # Shared: half-width AND half-row source — the kernel
+                    # folds the W repeat into its taps and duplicates rows
+                    # in VMEM scratch (row_shared); no repeat in HBM
                     assert 2 * p.at.w == w_full, (p.at.w, w_full)
+                    assert 2 * p.at.h == h_l, (p.at.h, h_l)
                     arrs.append(p.at.arr)
-            n = min(a.shape[1] for a in arrs)
-            h_l = next(p.h for p in d_parts if isinstance(p, WS))
             dtype = self.dtype or arrs[0].dtype
-            arrs = [a[:, :n].astype(dtype) for a in arrs]
+            arrs = [a.astype(dtype) for a in arrs]
             nd = len(d_parts)
+            shared = tuple(not isinstance(p, WS) for p in d_parts)
             out, carr, ho, wo = nconv2d_pallas_aligned(
                 arrs[:nd], arrs[nd:],
                 kernel.astype(dtype),
@@ -110,6 +114,7 @@ class NConv2d(nn.Module):
                 kernel_transform=lambda wp: conv_kernel_wsplit_parts(
                     wp, spec, self.padding
                 ),
+                row_shared=shared,
             )
             return (
                 WS(out, ho, 2 * wo, self.features),

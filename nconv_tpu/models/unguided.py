@@ -189,11 +189,6 @@ class NConvUNet(nn.Module):
             arr = jnp.repeat(jnp.repeat(t.arr, 2, axis=1), 2, axis=3)
             return AT(arr, 2 * t.h, 2 * t.w, t.c)
 
-        def up_rows(t: AT) -> Shared:
-            # rows repeat in XLA (cheap sublane copies); the W repeat never
-            # materializes — it folds into the consumer's tap coefficients
-            return Shared(AT(jnp.repeat(t.arr, 2, axis=1), 2 * t.h, t.w, t.c))
-
         x1d, c1d = pool_ws(x1), pool_ws(c1)
         x2, c2 = mk(c, 5, 2, name="nconv_down1")(x1d, c1d)
         x2d, c2d = pool(x2, c2)
@@ -209,8 +204,12 @@ class NConvUNet(nn.Module):
         x23, c23 = mk(c, 3, 1, name="nconv5")(
             [x2, up2(x34, x2)], [c2, up2(c34, c2)]
         )
+        # the decoder upsample feeds its HALF-width, HALF-row source
+        # directly: the W repeat folds into the kernel taps and the row
+        # repeat happens in VMEM scratch (row_shared) — neither repeat
+        # ever materializes in HBM
         xout, cout = mk(c, 3, 0, name="nconv6")(
-            [up_rows(x23), x1], [up_rows(c23), c1]
+            [Shared(x23), x1], [Shared(c23), c1]
         )  # (H-2, W-2)
         xout, cout = mk(1, 1, 2, init="k", name="nconv7")(xout, cout)
 

@@ -52,7 +52,7 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
             th: int, w_out: int, wp_out: int, eps: float, n_tiles: int,
             n_total: int, pad_top: int, pad_left: int, h_in: int,
             h_out: int, part_cs: tuple, part_wps: tuple,
-            aligned_out: bool, g: int):
+            row_shared: tuple, aligned_out: bool, g: int):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
     d_hbm/c_hbm: (B, Hx, cin_pad, wp_in) aligned-form data / confidence in
@@ -88,12 +88,25 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
 
             @pl.when(cond)
             def _go(off=off, size=size):
-                src = pl.ds(jnp.maximum(t * th - pad_top, 0), size)
+                a = jnp.maximum(t * th - pad_top, 0)
                 for hbms, half, sem in ((d_hbms, 0, sem_d), (c_hbms, 1, sem_c)):
                     for i in range(n_parts):
+                        if row_shared[i]:
+                            # half-row source (2x row nearest-repeat folds
+                            # into the kernel): fetch ceil(size/2) source
+                            # rows; expansion duplicates them after the
+                            # wait. Window starts are even (th and pad_top
+                            # even — asserted by the core), so full row
+                            # a+j maps to source row a//2 + j//2.
+                            sz = (size + 1) // 2
+                            src = pl.ds(a // 2, sz)
+                            dst = pl.ds(off, sz)
+                        else:
+                            src = pl.ds(a, size)
+                            dst = pl.ds(off, size)
                         cp = pltpu.make_async_copy(
                             hbms[i].at[bi, src],
-                            xs.at[slot, pl.ds(off, size), half,
+                            xs.at[slot, dst, half,
                                   pl.ds(coffs[i], part_cs[i]),
                                   pl.ds(FRONT, part_wps[i])],
                             sem.at[slot, i],
@@ -118,6 +131,25 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
     slot = idx % 2
     t = idx % n_tiles
     dma_apply(idx, slot, "wait")
+
+    # expand row-shared parts in place, back to front (dst row j reads
+    # source scratch row j//2 < j, still untouched in descending order) —
+    # VMEM-only traffic replacing a full-tensor XLA row-repeat in HBM
+    if any(row_shared):
+        for off, size in classes:
+            tiles = [k for k, wn in enumerate(wins) if wn[:2] == (off, size)]
+            cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
+
+            @pl.when(cond)
+            def _expand(off=off, size=size):
+                for j in range(size - 1, 0, -1):
+                    if j // 2 == j:
+                        continue
+                    for i in range(n_parts):
+                        if not row_shared[i]:
+                            continue
+                        sl = pl.ds(coffs[i], part_cs[i])
+                        xs[slot, off + j, :, sl] = xs[slot, off + j // 2, :, sl]
 
     # zero the scratch rows the clamped DMA did not fill (virtual halo rows)
     for zt in sorted({wn[2] for wn in wins if wn[2]}):
@@ -235,21 +267,28 @@ def _nconv_core(
     data_parts, conf_parts, w_pos, bias, *, pad_top: int, pad_left: int,
     h_in: int, w_in: int, h_out: int, w_out: int, wp_out: int, eps: float,
     tile_h: int | None, aligned_out: bool,
+    row_shared: tuple | None = None,
 ):
     """Shared core. ``data_parts``/``conf_parts`` are parallel lists of
     (B, Hx_i, c_i, wp_i) aligned-form arrays forming a logical channel
     concat (zeros outside rows [0,h_in) x lanes [0,w_in)); ``w_pos`` is the
     already-positive HWIO kernel, zero-extended to the granule-padded
-    channel total."""
+    channel total. A ``row_shared[i]`` part carries HALF the rows (a 2x row
+    nearest-repeat source): the kernel DMAs the half-row window and
+    duplicates rows in VMEM — the repeat never materializes in HBM."""
     kh, kw, cin, cout = w_pos.shape
     part_cs = tuple(p.shape[2] for p in data_parts)
     part_wps = tuple(p.shape[-1] for p in data_parts)
+    row_shared = tuple(row_shared or (False,) * len(data_parts))
     b = data_parts[0].shape[0]
     assert cin == max(_round_up(sum(part_cs), 4), 4), (cin, part_cs)
-    for dp, cp in zip(data_parts, conf_parts):
+    for i, (dp, cp) in enumerate(zip(data_parts, conf_parts)):
         assert dp.shape == cp.shape and dp.shape[0] == b
-        assert dp.shape[1] >= h_in and dp.shape[-1] % 128 == 0
+        need_rows = (h_in + 1) // 2 if row_shared[i] else h_in
+        assert dp.shape[1] >= need_rows and dp.shape[-1] % 128 == 0
         assert dp.dtype == data_parts[0].dtype
+    if any(row_shared):
+        assert pad_top % 2 == 0, pad_top  # even window starts
     wp_in = max(part_wps)
     from .pallas_conv import auto_row_group
 
@@ -266,11 +305,17 @@ def _nconv_core(
             kh, h_out,
         )
     th = min(_round_up(tile_h, g), _round_up(h_out, g))
+    if any(row_shared) and th % 2:
+        # even tile starts (full row a+j maps to source (a+j)//2) while
+        # keeping g | th for the row-group loop
+        th = _round_up(th, 2 * g)
     if aligned_out:
         # exact tiling when h_out has a divisor near the VMEM-fit tile;
         # otherwise keep the overhang and mask it
         for cand in range(th, max(th // 2, 7), -1):
-            if h_out % cand == 0 and cand % g == 0:
+            if h_out % cand == 0 and cand % g == 0 and not (
+                any(row_shared) and cand % 2
+            ):
                 th = cand
                 break
     n_tiles = -(-h_out // th)
@@ -281,7 +326,7 @@ def _nconv_core(
         w_out=w_out, wp_out=wp_out, eps=eps, n_tiles=n_tiles,
         n_total=n_total, pad_top=pad_top, pad_left=pad_left, h_in=h_in,
         h_out=h_out, part_cs=part_cs, part_wps=part_wps,
-        aligned_out=aligned_out, g=g,
+        row_shared=row_shared, aligned_out=aligned_out, g=g,
     )
     block_out = pl.BlockSpec(
         (1, th, cout, wp_out), lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
@@ -326,6 +371,7 @@ def nconv2d_pallas_aligned(
     eps: float = EPS_DEFAULT,
     tile_h: int | None = None,
     kernel_transform=None,
+    row_shared: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array, int, int]:
     """Aligned-form normalized conv: operands (B, Hx, cin, Wp) with data at
     rows [0, h) x lanes [0, w), zeros elsewhere (cin % 4 == 0). Returns
@@ -372,7 +418,7 @@ def nconv2d_pallas_aligned(
         data_parts, conf_parts, w_pos, bias,
         pad_top=p, pad_left=pl, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=_round_up(w_out, 128), eps=eps, tile_h=tile_h,
-        aligned_out=True,
+        aligned_out=True, row_shared=row_shared,
     )
     return out, carr, h_out, w_out
 

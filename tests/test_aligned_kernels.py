@@ -401,3 +401,54 @@ def test_aligned_nconv_wsplit_shared_matches_full():
     np.testing.assert_allclose(
         np.asarray(merge(got_c)), np.asarray(ref_c[:, :hr, :, :wr]), atol=1e-4
     )
+
+
+def test_aligned_nconv_row_shared_duplicates_in_vmem():
+    """row_shared: the shared part carries HALF the rows as well — the
+    kernel DMAs the half-row window and duplicates rows in VMEM scratch
+    (the full 2x2 nearest-upsample of step-1's decoder, with neither the
+    W nor the H repeat materializing in HBM)."""
+    from nconv_tpu.ops.convops import conv_kernel_wsplit_parts
+
+    B, h, w, c = 1, 12, 136, 8
+    src_d = jnp.asarray(rng.random((B, h // 2, w // 2, c)), jnp.float32)
+    src_c = jnp.asarray(rng.random((B, h // 2, w // 2, c)) > 0.4, jnp.float32)
+    skip_d = jnp.asarray(rng.random((B, h, w, c)), jnp.float32)
+    skip_c = jnp.asarray(rng.random((B, h, w, c)) > 0.4, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 2 * c, c)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.random((c,)) * 0.01, jnp.float32)
+
+    def bhcw(x):
+        return jnp.transpose(x, (0, 1, 3, 2))
+
+    def split(x):
+        v = bhcw(x).reshape(B, h, c, w // 2, 2)
+        return _pad_lanes(jnp.concatenate([v[..., 0], v[..., 1]], axis=2))
+
+    spec = [("shared", c), ("split", c)]
+    with pltpu.force_tpu_interpret_mode():
+        got_x, got_c, ho, wo = nconv2d_pallas_aligned(
+            [_pad_lanes(bhcw(src_d)), split(skip_d)],
+            [_pad_lanes(bhcw(src_c)), split(skip_c)],
+            k, jnp.tile(b, 2), w=w // 2, h=h, padding=0, pos_fn="softplus",
+            kernel_transform=lambda wp: conv_kernel_wsplit_parts(wp, spec, 0),
+            row_shared=(True, False),
+        )
+        rep_d = jnp.repeat(jnp.repeat(src_d, 2, axis=1), 2, axis=2)
+        rep_c = jnp.repeat(jnp.repeat(src_c, 2, axis=1), 2, axis=2)
+        ref_x, ref_c, hr, wr = nconv2d_pallas_aligned(
+            [_pad_lanes(bhcw(jnp.concatenate([rep_d, skip_d], -1)))],
+            [_pad_lanes(bhcw(jnp.concatenate([rep_c, skip_c], -1)))],
+            k, b, w=w, padding=0, pos_fn="softplus",
+        )
+
+    def merge(o):
+        ev, od = o[:, :ho, :c, :wo], o[:, :ho, c:2*c, :wo]
+        return jnp.stack([ev, od], -1).reshape(B, ho, c, 2 * wo)
+
+    np.testing.assert_allclose(
+        np.asarray(merge(got_x)), np.asarray(ref_x[:, :hr, :, :wr]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(merge(got_c)), np.asarray(ref_c[:, :hr, :, :wr]), atol=1e-4
+    )
