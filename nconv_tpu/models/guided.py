@@ -165,8 +165,27 @@ class NewFusionBlock(nn.Module):
             rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
             depth_feat = mk(self.rgb_channels, "depth_conv")(d8)
             fused = mk(self.rgb_channels, "fuse_conv1")([rgb_feat, depth_feat])
-            fused = mk(self.features, "fuse_conv2")(fused)
-            return mk(self.features, "fuse_conv3")(fused)
+            # fuse_conv2 -> fuse_conv3 run as ONE two-stage kernel (the
+            # intermediate stays in VMEM; split kernels compose directly)
+            from ..ops.convops import conv_kernel_wsplit
+            from ..ops.pallas_chain import conv2_chain_pallas_aligned
+
+            k2_, b2_ = mk(self.features, "fuse_conv2")(
+                fused, params_only=True
+            )
+            k3_, b3_ = mk(self.features, "fuse_conv3")(
+                self.features, params_only=True
+            )
+            dt = fused.arr.dtype
+            out, ho, wo = conv2_chain_pallas_aligned(
+                fused.arr,
+                conv_kernel_wsplit(k2_.astype(dt), [fused.c]),
+                jnp.tile(b2_.astype(dt), 2),
+                conv_kernel_wsplit(k3_.astype(dt), [self.features]),
+                jnp.tile(b3_.astype(dt), 2),
+                w=fused.w // 2, h=fused.h,
+            )
+            return WS(out, ho, fused.w, self.features)
         if self.layout == "bhcw" and isinstance(rgb, AT):
             # aligned-form chain: rgb/depth are ATs; the rgb‖depth feature
             # concat feeds the multi-input kernel directly (no HBM concat).
@@ -181,8 +200,23 @@ class NewFusionBlock(nn.Module):
             rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
             depth_feat = mk(self.rgb_channels, "depth_conv")(d8)
             fused = mk(self.rgb_channels, "fuse_conv1")([rgb_feat, depth_feat])
-            fused = mk(self.features, "fuse_conv2")(fused)
-            return mk(self.features, "fuse_conv3")(fused)
+            # fuse_conv2 -> fuse_conv3 as one two-stage kernel (VMEM
+            # intermediate) — same param tree via params_only
+            from ..ops.pallas_chain import conv2_chain_pallas_aligned
+
+            k2_, b2_ = mk(self.features, "fuse_conv2")(
+                fused, params_only=True
+            )
+            k3_, b3_ = mk(self.features, "fuse_conv3")(
+                self.features, params_only=True
+            )
+            dt = fused.arr.dtype
+            out, ho, wo = conv2_chain_pallas_aligned(
+                fused.arr, k2_.astype(dt), b2_.astype(dt),
+                k3_.astype(dt), b3_.astype(dt),
+                w=fused.w, h=fused.h,
+            )
+            return AT(out, ho, wo)
         edges = chain_bhcw and self.layout == "nhwc"
         if edges:
             # NHWC edges: one transpose in per input, one out

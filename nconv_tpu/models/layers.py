@@ -58,21 +58,24 @@ class Conv(nn.Module):
         from .aligned import AT, WS
 
         # x may be an AT, a WS (W-phase-split), a list of ATs or WSs (logical
-        # channel concat fed to the multi-input kernel — no HBM concat), or a
-        # plain array
-        parts = (
-            [x] if isinstance(x, (AT, WS)) else
-            list(x) if isinstance(x, (list, tuple)) else None
-        )
-        split = parts is not None and isinstance(parts[0], WS)
-        aligned = parts is not None and not split
-        if split:
-            assert all(isinstance(p, WS) for p in parts)
-            cin = sum(p.c for p in parts)  # full-W logical channels
-        elif aligned:
-            cin = sum(p.logical_c for p in parts)
+        # channel concat fed to the multi-input kernel — no HBM concat), a
+        # plain array, or (params_only) a bare input-channel count
+        if params_only and isinstance(x, int):
+            parts, split, aligned, cin = None, False, False, x
         else:
-            cin = x.shape[-1] if self.layout == "nhwc" else x.shape[2]
+            parts = (
+                [x] if isinstance(x, (AT, WS)) else
+                list(x) if isinstance(x, (list, tuple)) else None
+            )
+            split = parts is not None and isinstance(parts[0], WS)
+            aligned = parts is not None and not split
+            if split:
+                assert all(isinstance(p, WS) for p in parts)
+                cin = sum(p.c for p in parts)  # full-W logical channels
+            elif aligned:
+                cin = sum(p.logical_c for p in parts)
+            else:
+                cin = x.shape[-1] if self.layout == "nhwc" else x.shape[2]
         k = self.kernel_size
         kernel = self.param(
             "kernel", torch_conv_kernel_init, (k, k, cin, self.features)
@@ -248,11 +251,11 @@ class ConvBlock(nn.Module):
     layout: str = "nhwc"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, params_only: bool = False):
         return Conv(
             self.features, dtype=self.dtype, backend=self.backend,
             fuse_relu=True, layout=self.layout,
-        )(x)
+        )(x, params_only=params_only)
 
 
 class Basic2d(nn.Module):

@@ -452,3 +452,71 @@ def test_aligned_nconv_row_shared_duplicates_in_vmem():
     np.testing.assert_allclose(
         np.asarray(merge(got_c)), np.asarray(ref_c[:, :hr, :, :wr]), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("shape,f1,f2", [
+    ((1, 16, 8, 130), 16, 8),
+    ((2, 22, 24, 140), 16, 16),   # h_out with tile overhang
+    ((1, 12, 5, 136), 7, 9),      # non-granule channels everywhere
+])
+def test_conv2_chain_matches_sequential(shape, f1, f2):
+    """Fused conv->relu->conv chain (intermediate in VMEM) == two
+    sequential aligned convs, including the virtual-row zeroing that keeps
+    stage 2's halo aligned."""
+    from nconv_tpu.ops.pallas_chain import conv2_chain_pallas_aligned
+
+    B, h, c, w = shape
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, c, f1)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((f1,)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, f1, f2)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((f2,)) * 0.1, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv2_chain_pallas_aligned(
+            _pad_lanes(x), k1, b1, k2, b2, w=w, tile_h=8,
+        )
+        m1, h1, w1 = conv2d_pallas_bhcw_aligned(
+            _pad_lanes(x), k1, b1, w=w, padding=1, relu=True
+        )
+        ref, h2, w2_ = conv2d_pallas_bhcw_aligned(
+            m1, k2, b2, w=w1, h=h1, padding=1, relu=True
+        )
+    assert (ho, wo) == (h2, w2_)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :ho, :, :wo]),
+        np.asarray(ref[:, :ho, :, :wo]), atol=1e-4,
+    )
+    assert float(jnp.max(jnp.abs(got[:, :, :, wo:]))) == 0.0
+
+
+def test_conv2_chain_multi_part_and_split():
+    """Chain over multi-part input with W-phase-split kernels == the full
+    conv pair (the fuse_conv2->fuse_conv3 WS geometry)."""
+    from nconv_tpu.ops.convops import conv_kernel_wsplit
+    from nconv_tpu.ops.pallas_chain import conv2_chain_pallas_aligned
+
+    B, h, c, w, f = 1, 12, 8, 136, 16
+    x = jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, c, f)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, f, f)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    v = x.reshape(B, h, c, w // 2, 2)
+    xs = _pad_lanes(jnp.concatenate([v[..., 0], v[..., 1]], axis=2))
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv2_chain_pallas_aligned(
+            xs, conv_kernel_wsplit(k1, [c]), jnp.tile(b1, 2),
+            conv_kernel_wsplit(k2, [f]), jnp.tile(b2, 2),
+            w=w // 2, tile_h=6,
+        )
+        m1, h1, w1 = conv2d_pallas_bhcw_aligned(
+            _pad_lanes(x), k1, b1, w=w, padding=1, relu=True
+        )
+        ref, h2, w2_ = conv2d_pallas_bhcw_aligned(
+            m1, k2, b2, w=w1, h=h1, padding=1, relu=True
+        )
+    ev, od = got[:, :ho, :f, :wo], got[:, :ho, f:, :wo]
+    merged = jnp.stack([ev, od], -1).reshape(B, ho, f, 2 * wo)
+    np.testing.assert_allclose(
+        np.asarray(merged), np.asarray(ref[:, :h2, :, :w2_]), atol=1e-4
+    )
