@@ -274,12 +274,12 @@ class Basic2d(nn.Module):
     layout: str = "nhwc"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, *, params_only: bool = False):
         if self.fold_bn and self.use_norm:
             return Conv(
                 self.features, use_bias=True, dtype=self.dtype,
                 backend=self.backend, fuse_relu=True, layout=self.layout,
-            )(x)
+            )(x, params_only=params_only)
         x = Conv(
             self.features, use_bias=not self.use_norm, dtype=self.dtype,
             backend=self.backend, layout=self.layout,

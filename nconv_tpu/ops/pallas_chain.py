@@ -1,24 +1,27 @@
-"""Two-stage fused convolution chain: conv3x3(+bias,ReLU) -> conv3x3
-(+bias,ReLU) in ONE kernel pass, with the intermediate activation kept in
-VMEM scratch — its HBM write+read (57 MB per full-resolution fusion-stage
-boundary at KITTI geometry) never happens.
+"""Fused convolution chains: N stages of conv3x3(+bias,ReLU) in ONE kernel
+pass, with every intermediate activation kept in VMEM scratch — their HBM
+write+read traffic (57 MB per full-resolution fusion-stage boundary at
+KITTI geometry) never happens.
 
 Same aligned-form contract as ``conv2d_pallas_bhcw_aligned``
 (ops/pallas_conv.py): operands (B, Hx, c, Wp) with data at rows [0,h) x
-lanes [0,w), zeros elsewhere; the halo rows/lanes of BOTH stages are
-synthesized (input halos from the zero margins, stage-2 halos by zeroing
-the virtual intermediate rows that fall outside the image). Both kernels
-may be W-phase-split transforms (ops/convops.py) — the chain is agnostic:
-it just runs two 3x3 pad-1 convs.
+lanes [0,w), zeros elsewhere; the halo rows/lanes of EVERY stage are
+synthesized (input halos from the zero margins, later stages' halos by
+zeroing the virtual intermediate rows that fall outside the image). Any
+stage's kernel may be a W-phase-split transform (ops/convops.py) — the
+chain is agnostic: it just runs 3x3 pad-1 convs.
 
-Geometry: both convs are 3x3 pad 1, so the chain behaves like one 5x5
-pad-2 conv for tiling purposes — a tile of ``th`` output rows consumes
-``th + 4`` input rows and materializes ``th + 2`` intermediate rows in
-scratch. The DMA is double-buffered across grid steps exactly like the
-single-conv kernel.
+Geometry: N chained 3x3 pad-1 convs behave like one (2N+1)x(2N+1) pad-N
+conv for tiling purposes — a tile of ``th`` output rows consumes
+``th + 2N`` input rows, and stage i materializes ``th + 2*(N-1-i)``
+intermediate rows in its scratch buffer. The input DMA is double-buffered
+across grid steps exactly like the single-conv kernel.
 
-Used by NewFusionBlock's fuse_conv2 -> fuse_conv3 chain (models/guided.py).
-Inference-only (the training graph keeps separate differentiable convs).
+Used by NewFusionBlock (models/guided.py): the whole
+fuse_conv1 -> fuse_conv2 -> fuse_conv3 tail runs as one 3-stage chain, and
+UpCat's final conv chains with rgb_conv (via models/aligned.py:PendingConv)
+as a 2-stage chain. Inference-only (the training graph keeps separate
+differentiable convs).
 """
 from __future__ import annotations
 
@@ -73,18 +76,36 @@ def _stage(src, dst_write, w2, w2_rem, bias_col, n_rows, g, cin_p, cout,
         run_group(full * g, rem, w2_rem)
 
 
-def _chain_kernel(*refs, cin_p, c_mid, cout, th, w_out, wp_out, ga, gb,
-                  n_tiles, n_total, h_in, h_out, part_cs, part_wps):
+def _chain_kernel(*refs, chans, gs, rems, th, w_out, wp_out, n_tiles,
+                  n_total, h_in, h_out, part_cs, part_wps):
+    n_stages = len(chans) - 1
     n_parts = len(part_cs)
     x_hbms = refs[:n_parts]
-    (w2a, w2a_r, w2b, w2b_r, b1_ref, b2_ref, out_ref, xs, mid, sem) = refs[
-        n_parts:
-    ]
+    # per stage: full tap matrix, remainder tap matrix (only when the row
+    # count doesn't divide by the group — saves its VMEM otherwise), bias
+    pos = n_parts
+    stage_ops = []
+    for i in range(n_stages):
+        w2 = refs[pos]
+        pos += 1
+        if rems[i]:
+            w2r = refs[pos]
+            pos += 1
+        else:
+            w2r = w2
+        bias = refs[pos]
+        pos += 1
+        stage_ops.append((w2, w2r, bias))
+    out_ref = refs[pos]
+    xs = refs[pos + 1]
+    mids = refs[pos + 2 : pos + 1 + n_stages]
+    sem = refs[pos + 1 + n_stages]
+
     coffs = [sum(part_cs[:i]) for i in range(n_parts)]
     idx = pl.program_id(0)
-    rows_full = th + 4
-    # tiling identical to a 5x5 pad-2 conv: th output rows read th+4 rows
-    wins = _tile_windows(n_tiles, th, 5, 2, h_in)
+    rows_full = th + 2 * n_stages
+    # tiling identical to a (2N+1) pad-N conv: th output rows read th+2N
+    wins = _tile_windows(n_tiles, th, 2 * n_stages + 1, n_stages, h_in)
     classes = sorted({(o, s) for (o, s, _zt, _zb) in wins if s})
 
     def dma_apply(step, slot, action):
@@ -96,7 +117,7 @@ def _chain_kernel(*refs, cin_p, c_mid, cout, th, w_out, wp_out, ga, gb,
 
             @pl.when(cond)
             def _go(off=off, size=size):
-                src = pl.ds(jnp.maximum(t * th - 2, 0), size)
+                src = pl.ds(jnp.maximum(t * th - n_stages, 0), size)
                 for i in range(n_parts):
                     cp = pltpu.make_async_copy(
                         x_hbms[i].at[bi, src],
@@ -111,7 +132,8 @@ def _chain_kernel(*refs, cin_p, c_mid, cout, th, w_out, wp_out, ga, gb,
     def _zero_scratch():
         xs[0] = jnp.zeros_like(xs[0])
         xs[1] = jnp.zeros_like(xs[1])
-        mid[...] = jnp.zeros_like(mid)
+        for m in mids:
+            m[...] = jnp.zeros_like(m)
 
     @pl.when(idx == 0)
     def _warmup():
@@ -145,44 +167,50 @@ def _chain_kernel(*refs, cin_p, c_mid, cout, th, w_out, wp_out, ga, gb,
 
     mask = lax.broadcasted_iota(jnp.int32, (1, wp_out), 1) < w_out
 
-    # stage A: th+2 intermediate rows (one halo row each side for stage B);
-    # intermediate row j is absolute output-A row t*th - 1 + j
-    def a_src(h0, nrows):
-        return xs[slot, pl.ds(h0, nrows)]
+    for i in range(n_stages):
+        w2, w2r, bias = stage_ops[i]
+        rows_out = th + 2 * (n_stages - 1 - i)
+        last = i == n_stages - 1
 
-    def a_dst(h0, res):
-        mid[pl.ds(h0, res.shape[0]), :, pl.ds(FRONT, wp_out)] = res.astype(
-            mid.dtype
-        )
+        if i == 0:
+            def src(h0, nrows):
+                return xs[slot, pl.ds(h0, nrows)]
+        else:
+            def src(h0, nrows, m=mids[i - 1]):
+                return m[pl.ds(h0, nrows)]
 
-    _stage(a_src, a_dst, w2a, w2a_r, b1_ref, th + 2, ga, cin_p, c_mid,
-           xs.shape[-1], wp_out, 1, mask)
+        if last:
+            def dst(h0, res):
+                out_ref[0, pl.ds(h0, res.shape[0])] = res.astype(
+                    out_ref.dtype
+                )
+        else:
+            def dst(h0, res, m=mids[i]):
+                m[pl.ds(h0, res.shape[0]), :, pl.ds(FRONT, wp_out)] = (
+                    res.astype(m.dtype)
+                )
 
-    # aligned invariant for stage B's halo: intermediate rows outside the
-    # image (absolute A-rows -1 and >= h_out_a = h_in) must be ZERO — a
-    # conv over zero input rows produced relu(bias) there instead
-    @pl.when(t == 0)
-    def _zero_mid_top():
-        mid[0:1] = jnp.zeros_like(mid[0:1])
+        src_wp = xs.shape[-1] if i == 0 else mids[i - 1].shape[-1]
+        _stage(src, dst, w2, w2r, bias, rows_out, gs[i], chans[i],
+               chans[i + 1], src_wp, wp_out, 1, mask)
 
-    # absolute A-row of mid[j] is t*th - 1 + j; zero rows >= h_in (stage A
-    # ran over virtual zero input rows there, leaving relu(bias) != 0)
-    for k in range(n_tiles):
-        j0 = h_in + 1 - k * th
-        if j0 < th + 2:
-            @pl.when(t == k)
-            def _zero_mid_tail(j0=max(j0, 0)):
-                mid[j0:] = jnp.zeros_like(mid[j0:])
+        if not last:
+            # aligned invariant for the next stage's halo: intermediate
+            # rows outside the image must be ZERO — stage i produced
+            # relu(bias) over virtual zero input rows there. Local row j
+            # of mids[i] is absolute row t*th - (n_stages-1-i) + j.
+            lead = n_stages - 1 - i
 
-    # stage B: th output rows; output row r reads mid rows [r, r+3)
-    def b_src(h0, nrows):
-        return mid[pl.ds(h0, nrows)]
+            @pl.when(t == 0)
+            def _zero_mid_top(m=mids[i], lead=lead):
+                m[0:lead] = jnp.zeros_like(m[0:lead])
 
-    def b_dst(h0, res):
-        out_ref[0, pl.ds(h0, res.shape[0])] = res.astype(out_ref.dtype)
-
-    _stage(b_src, b_dst, w2b, w2b_r, b2_ref, th, gb, c_mid, cout,
-           mid.shape[-1], wp_out, 1, mask)
+            for k in range(n_tiles):
+                j0 = h_in + lead - k * th
+                if j0 < rows_out:
+                    @pl.when(t == k)
+                    def _zero_mid_tail(m=mids[i], j0=max(j0, 0)):
+                        m[j0:] = jnp.zeros_like(m[j0:])
 
     overhang = n_tiles * th - h_out
     if overhang:
@@ -190,6 +218,150 @@ def _chain_kernel(*refs, cin_p, c_mid, cout, th, w_out, wp_out, ga, gb,
         def _zero_tail_rows():
             cut = th - min(overhang, th)
             out_ref[0, cut:] = jnp.zeros_like(out_ref[0, cut:])
+
+
+def conv_chain_pallas_aligned(
+    x,
+    stages,
+    *,
+    w: int,
+    h: int | None = None,
+    tile_h: int | None = None,
+) -> tuple[jax.Array, int, int]:
+    """Fused chain of N conv3x3(+bias,relu) stages, aligned form in/out.
+
+    ``x`` may be a list of parts (logical channel concat); ``stages`` is a
+    list of (kernel, bias) pairs, each 3x3 pad 1 (geometry-preserving).
+    Kernels may be W-phase-split transforms — the chain only ever sees 3x3
+    kernels."""
+    parts = list(x) if isinstance(x, (list, tuple)) else [x]
+    kernels = [jnp.asarray(k) for k, _ in stages]
+    biases = [jnp.asarray(b) for _, b in stages]
+    n_stages = len(stages)
+    assert all(k.shape[:2] == (3, 3) for k in kernels)
+    part_cs = tuple(p.shape[2] for p in parts)
+    part_wps = tuple(p.shape[-1] for p in parts)
+    cin_total = sum(part_cs)
+    cin1 = kernels[0].shape[2]
+    assert cin1 <= cin_total, (cin1, part_cs)
+    assert cin_total - parts[-1].shape[2] <= cin1, "padded part must be last"
+    cin_p = _round_up(cin_total, 8)
+    if cin_p != cin1:
+        kernels[0] = jnp.pad(
+            kernels[0], ((0, 0), (0, 0), (0, cin_p - cin1), (0, 0))
+        )
+    # granule-pad every intermediate channel count; the downstream stage
+    # gets zero taps on the pad channels
+    for i in range(1, n_stages):
+        c = kernels[i - 1].shape[-1]
+        assert kernels[i].shape[2] == c, (i, kernels[i - 1].shape,
+                                          kernels[i].shape)
+        cp = _round_up(c, 8)
+        if cp != c:
+            kernels[i - 1] = jnp.pad(
+                kernels[i - 1], ((0, 0), (0, 0), (0, 0), (0, cp - c))
+            )
+            kernels[i] = jnp.pad(
+                kernels[i], ((0, 0), (0, 0), (0, cp - c), (0, 0))
+            )
+            biases[i - 1] = jnp.pad(biases[i - 1], (0, cp - c))
+    chans = [cin_p] + [k.shape[-1] for k in kernels]
+    cout = chans[-1]
+
+    h_in = parts[0].shape[1] if h is None else h
+    h_out = h_in  # pad-1 3x3 convs preserve geometry
+    w_out = w
+    wp_out = _round_up(w_out, 128)
+    b_ = parts[0].shape[0]
+    x_dtype = parts[0].dtype
+    itemsize = jnp.dtype(x_dtype).itemsize
+    wp_in = max(part_wps)
+    wp_s = wp_in + 2 * FRONT
+
+    # row groups capped at 4: each stage carries up to two block-Toeplitz
+    # tap matrices whose size grows ~g^2 — g=8 alone puts ~8 MB of taps in
+    # scoped VMEM and blew the 16 MB limit on the two-stage chain
+    gs = [min(auto_row_group(3, chans[i], chans[i + 1]), 4)
+          for i in range(n_stages)]
+
+    def tap_bytes(th_val):
+        tot = 0
+        for i in range(n_stages):
+            rows = th_val + 2 * (n_stages - 1 - i)
+            n_mats = 1 + (1 if rows % gs[i] else 0)
+            tot += (
+                n_mats * itemsize * 3 * gs[i] * chans[i + 1]
+                * (2 + gs[i]) * chans[i]
+            )
+        return tot
+
+    if tile_h is None:
+        # VMEM budget: two xs slots + mids + out block + tap matrices. The
+        # budget is deliberately conservative — the observed scoped-VMEM
+        # accounting runs ~1.6x this model (output double-buffering, f32
+        # accumulators, stage reshapes), and the fuse3 two-stage chain at
+        # th=22 measured 17.73M against the 16M limit.
+        budget = 10 * 1024 * 1024
+        per_row = (
+            2 * cin_p * wp_s * itemsize
+            + sum(chans[1:-1]) * wp_s * itemsize
+            + cout * wp_out * itemsize
+        )
+        tile_h = max(
+            8, (budget - tap_bytes(8)) // per_row - 2 * n_stages - 4
+        )
+    th = min(_round_up(tile_h, 2), _round_up(h_out, 2))
+    for cand in range(th, max(th // 2, 7), -1):
+        if h_out % cand == 0 and cand % 2 == 0:
+            th = cand
+            break
+    n_tiles = -(-h_out // th)
+
+    ops = []
+    rems = []
+    for i in range(n_stages):
+        rows = th + 2 * (n_stages - 1 - i)
+        g = gs[i]
+        rem = rows % g
+        rems.append(bool(rem))
+        ops.append(_taps(kernels[i], g))
+        if rem:
+            ops.append(_taps(kernels[i], rem))
+        ops.append(
+            jnp.tile(
+                biases[i].astype(jnp.float32), max(g, rem or g)
+            ).reshape(-1, 1)
+        )
+
+    n_total = b_ * n_tiles
+    kfun = functools.partial(
+        _chain_kernel, chans=chans, gs=gs, rems=rems, th=th, w_out=w_out,
+        wp_out=wp_out, n_tiles=n_tiles, n_total=n_total, h_in=h_in,
+        h_out=h_out, part_cs=part_cs, part_wps=part_wps,
+    )
+    mid_shapes = [
+        pltpu.VMEM((th + 2 * (n_stages - 1 - i), chans[i + 1], wp_s),
+                   x_dtype)
+        for i in range(n_stages - 1)
+    ]
+    out = pl.pallas_call(
+        kfun,
+        grid=(n_total,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(parts)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops),
+        out_specs=pl.BlockSpec(
+            (1, th, cout, wp_out),
+            lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b_, n_tiles * th, cout, wp_out), x_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2 * n_stages, cin_p, wp_s), x_dtype),
+        ] + mid_shapes + [pltpu.SemaphoreType.DMA((2, len(parts)))],
+    )(*parts, *ops)
+    return out, h_out, w_out
 
 
 def conv2_chain_pallas_aligned(
@@ -203,96 +375,7 @@ def conv2_chain_pallas_aligned(
     h: int | None = None,
     tile_h: int | None = None,
 ) -> tuple[jax.Array, int, int]:
-    """Fused conv3x3(+b,relu) -> conv3x3(+b,relu), aligned form in/out.
-
-    Both convs pad 1 (geometry-preserving). ``x`` may be a list of parts
-    (logical channel concat). Kernels may be W-phase-split transforms —
-    the chain only sees two 3x3 kernels."""
-    parts = list(x) if isinstance(x, (list, tuple)) else [x]
-    assert k1.shape[:2] == (3, 3) and k2.shape[:2] == (3, 3)
-    c_mid = k1.shape[-1]
-    cout = k2.shape[-1]
-    assert k2.shape[2] == c_mid, (k1.shape, k2.shape)
-    part_cs = tuple(p.shape[2] for p in parts)
-    part_wps = tuple(p.shape[-1] for p in parts)
-    cin_total = sum(part_cs)
-    cin1 = k1.shape[2]
-    assert cin1 <= cin_total, (cin1, part_cs)
-    assert cin_total - parts[-1].shape[2] <= cin1, "padded part must be last"
-    cin_p = _round_up(cin_total, 8)
-    if cin_p != cin1:
-        k1 = jnp.pad(k1, ((0, 0), (0, 0), (0, cin_p - cin1), (0, 0)))
-    c_mid_p = _round_up(c_mid, 8)
-    if c_mid_p != c_mid:
-        # granule-pad the intermediate channels; stage B gets zero taps
-        k1 = jnp.pad(k1, ((0, 0), (0, 0), (0, 0), (0, c_mid_p - c_mid)))
-        k2 = jnp.pad(k2, ((0, 0), (0, 0), (0, c_mid_p - c_mid), (0, 0)))
-        b1 = jnp.pad(b1, (0, c_mid_p - c_mid))
-        c_mid = c_mid_p
-
-    h_in = parts[0].shape[1] if h is None else h
-    h_out = h_in  # two pad-1 3x3 convs preserve geometry
-    w_out = w
-    wp_out = _round_up(w_out, 128)
-    b_ = parts[0].shape[0]
-    x_dtype = parts[0].dtype
-    itemsize = jnp.dtype(x_dtype).itemsize
-    wp_in = max(part_wps)
-    wp_s = wp_in + 2 * FRONT
-
-    ga = auto_row_group(3, cin_p, c_mid)
-    gb = auto_row_group(3, c_mid, cout)
-
-    if tile_h is None:
-        # VMEM budget: two xs slots + mid + out block + tap matrices
-        budget = 14 * 1024 * 1024
-        fixed = 4 * (
-            3 * ga * c_mid * (2 + ga) * cin_p
-            + 3 * gb * cout * (2 + gb) * c_mid
-        ) * 2
-        per_row = (
-            2 * cin_p * wp_s * itemsize      # xs (both slots)
-            + c_mid * wp_s * itemsize        # mid
-            + cout * wp_out * itemsize       # out
-        )
-        tile_h = max(8, (budget - fixed) // per_row - 6)
-    th = min(_round_up(tile_h, 2), _round_up(h_out, 2))
-    for cand in range(th, max(th // 2, 7), -1):
-        if h_out % cand == 0 and cand % 2 == 0:
-            th = cand
-            break
-    n_tiles = -(-h_out // th)
-
-    w2a, w2a_r = _taps(k1, ga), _taps(k1, (th + 2) % ga or ga)
-    w2b, w2b_r = _taps(k2, gb), _taps(k2, th % gb or gb)
-    bias1 = jnp.tile(b1.astype(jnp.float32), max(ga, (th + 2) % ga or ga))
-    bias2 = jnp.tile(b2.astype(jnp.float32), max(gb, th % gb or gb))
-
-    n_total = b_ * n_tiles
-    kfun = functools.partial(
-        _chain_kernel, cin_p=cin_p, c_mid=c_mid, cout=cout, th=th,
-        w_out=w_out, wp_out=wp_out, ga=ga, gb=gb, n_tiles=n_tiles,
-        n_total=n_total, h_in=h_in, h_out=h_out, part_cs=part_cs,
-        part_wps=part_wps,
+    """Two-stage wrapper of :func:`conv_chain_pallas_aligned`."""
+    return conv_chain_pallas_aligned(
+        x, [(k1, b1), (k2, b2)], w=w, h=h, tile_h=tile_h
     )
-    out = pl.pallas_call(
-        kfun,
-        grid=(n_total,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(parts)
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec(
-            (1, th, cout, wp_out),
-            lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b_, n_tiles * th, cout, wp_out), x_dtype
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, th + 4, cin_p, wp_s), x_dtype),
-            pltpu.VMEM((th + 2, c_mid, wp_s), x_dtype),
-            pltpu.SemaphoreType.DMA((2, len(parts))),
-        ],
-    )(*parts, w2a, w2a_r, w2b, w2b_r,
-      bias1.reshape(-1, 1), bias2.reshape(-1, 1))
-    return out, h_out, w_out

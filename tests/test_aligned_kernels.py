@@ -520,3 +520,90 @@ def test_conv2_chain_multi_part_and_split():
     np.testing.assert_allclose(
         np.asarray(merged), np.asarray(ref[:, :h2, :, :w2_]), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("shape,feats", [
+    ((1, 16, 8, 130), (16, 16, 16)),
+    ((2, 22, 11, 140), (9, 8, 16)),   # overhang + non-granule channels
+])
+def test_conv3_chain_matches_sequential(shape, feats):
+    """Three-stage chain (both intermediates in VMEM) == three sequential
+    aligned convs — exercises the per-stage virtual-row zeroing at depth
+    N-1-i and the remainder-tap dedup."""
+    from nconv_tpu.ops.pallas_chain import conv_chain_pallas_aligned
+
+    B, h, c, w = shape
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    kbs = []
+    cin = c
+    for f in feats:
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, f)) * 0.2,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+        kbs.append((k, b))
+        cin = f
+    # multi-part split of the input channels
+    parts = [_pad_lanes(x[:, :, : c // 2]), _pad_lanes(x[:, :, c // 2 :])]
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv_chain_pallas_aligned(parts, kbs, w=w, tile_h=8)
+        ref = _pad_lanes(x)
+        hr, wr = h, w
+        for k, b in kbs:
+            ref, hr, wr = conv2d_pallas_bhcw_aligned(
+                ref, k, b, w=wr, h=hr, padding=1, relu=True
+            )
+    assert (ho, wo) == (hr, wr)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :ho, : feats[-1], :wo]),
+        np.asarray(ref[:, :ho, :, :wo]), atol=1e-4,
+    )
+    assert float(jnp.max(jnp.abs(got[:, :, :, wo:]))) == 0.0
+
+
+def test_conv3_chain_wsplit_fusion_geometry():
+    """The NewFusionBlock WS tail as one 3-stage chain: two split parts
+    (rgb_feat ‖ depth_feat) through three W-phase-split kernels == the
+    sequential full-width convs."""
+    from nconv_tpu.ops.convops import conv_kernel_wsplit
+    from nconv_tpu.ops.pallas_chain import conv_chain_pallas_aligned
+
+    B, h, c, w, f = 1, 12, 8, 136, 16
+    xr = jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
+    xd = jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 2 * c, f)) * 0.2,
+                     jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, f, f)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, f, c)) * 0.2, jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+
+    def split(t):
+        v = t.reshape(B, h, c, w // 2, 2)
+        return _pad_lanes(jnp.concatenate([v[..., 0], v[..., 1]], axis=2))
+
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv_chain_pallas_aligned(
+            [split(xr), split(xd)],
+            [
+                (conv_kernel_wsplit(k1, [c, c]), jnp.tile(b1, 2)),
+                (conv_kernel_wsplit(k2, [f]), jnp.tile(b2, 2)),
+                (conv_kernel_wsplit(k3, [f]), jnp.tile(b3, 2)),
+            ],
+            w=w // 2, tile_h=6,
+        )
+        ref, hr, wr = conv2d_pallas_bhcw_aligned(
+            [_pad_lanes(xr), _pad_lanes(xd)], k1, b1, w=w, padding=1,
+            relu=True,
+        )
+        ref, hr, wr = conv2d_pallas_bhcw_aligned(
+            ref, k2, b2, w=wr, h=hr, padding=1, relu=True
+        )
+        ref, hr, wr = conv2d_pallas_bhcw_aligned(
+            ref, k3, b3, w=wr, h=hr, padding=1, relu=True
+        )
+    ev, od = got[:, :ho, :c, :wo], got[:, :ho, c:, :wo]
+    merged = jnp.stack([ev, od], -1).reshape(B, ho, c, 2 * wo)
+    np.testing.assert_allclose(
+        np.asarray(merged), np.asarray(ref[:, :hr, :, :wr]), atol=1e-4
+    )
