@@ -35,6 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_conv import FRONT, _round_up, _tile_windows, auto_row_group
 
+# scoped-VMEM ceiling the fit model (modeled_bytes * _OBS_FACTOR) is held
+# under; module-level so tests can force the split fallback on tiny shapes
+_VMEM_CAP_BYTES = 15.5 * 1024 * 1024
+_OBS_FACTOR = 0.76  # observed-scoped-VMEM / modeled_bytes (measured)
+
 
 def _taps(kernel: jax.Array, g: int) -> jax.Array:
     """(3,3,cin,cout) -> per-tap block-Toeplitz (3, g*cout, (2+g)*cin)."""
@@ -119,8 +124,12 @@ def _chain_kernel(*refs, chans, gs, rems, th, w_out, wp_out, n_tiles,
             def _go(off=off, size=size):
                 src = pl.ds(jnp.maximum(t * th - n_stages, 0), size)
                 for i in range(n_parts):
+                    # lane clamp: copy only the lanes the taps can read
+                    # (over-allocated parts — e.g. a 768-wide producer
+                    # feeding a 640-lane conv — waste scratch + DMA bytes)
                     cp = pltpu.make_async_copy(
-                        x_hbms[i].at[bi, src],
+                        x_hbms[i].at[bi, src, slice(None),
+                                     pl.ds(0, part_wps[i])],
                         xs.at[slot, pl.ds(off, size),
                               pl.ds(coffs[i], part_cs[i]),
                               pl.ds(FRONT, part_wps[i])],
@@ -275,6 +284,10 @@ def conv_chain_pallas_aligned(
     b_ = parts[0].shape[0]
     x_dtype = parts[0].dtype
     itemsize = jnp.dtype(x_dtype).itemsize
+    # lane clamp: a part wider than round_up(w, 128) carries only zero
+    # lanes past the data region — don't DMA or stage them (the scratch
+    # zeros supply every tap read past the clamped width)
+    part_wps = tuple(min(wp, _round_up(w, 128)) for wp in part_wps)
     wp_in = max(part_wps)
     wp_s = wp_in + 2 * FRONT
 
@@ -316,6 +329,42 @@ def conv_chain_pallas_aligned(
             th = cand
             break
     n_tiles = -(-h_out // th)
+
+    # Scoped-VMEM fit check. Mosaic's scoped accounting is dominated not
+    # by the declared scratch but by per-stage TEMPORARIES — the window
+    # reshape copy, the kw tap slices fed to the dots, and the f32
+    # accumulator — so the model counts those per stage alongside the
+    # buffers. _OBS_FACTOR calibrates model -> observed (f32 UpCat chain:
+    # modeled 26.4 MB, compiler reported 20.1 MB). A chain that doesn't
+    # fit splits its LAST stage off and recurses — numerically identical,
+    # one intermediate round-trips HBM (in practice only wide-channel f32
+    # graphs split; the bf16 engine's chains all fit).
+    def modeled_bytes(th_val):
+        xs_b = 2 * (th_val + 2 * n_stages) * cin_p * wp_s * itemsize
+        mids_b = sum(
+            (th_val + 2 * (n_stages - 1 - i)) * chans[i + 1] * wp_s * itemsize
+            for i in range(n_stages - 1)
+        )
+        out_b = 2 * th_val * cout * wp_out * itemsize
+        tmp_b = 0
+        for i in range(n_stages):
+            win_rows = (2 + gs[i]) * chans[i]
+            tmp_b += win_rows * wp_s * itemsize          # reshape copy
+            tmp_b += 3 * win_rows * wp_out * itemsize    # tap slices
+            tmp_b += gs[i] * chans[i + 1] * wp_out * 4   # f32 accumulator
+        return xs_b + mids_b + out_b + tap_bytes(th_val) + tmp_b
+
+    cap = _VMEM_CAP_BYTES
+    while th > 8 and modeled_bytes(th) * _OBS_FACTOR > cap:
+        th -= 2  # shrink the tile before giving up on the chain
+    n_tiles = -(-h_out // th)
+    if n_stages > 1 and modeled_bytes(th) * _OBS_FACTOR > cap:
+        head, hh, wh = conv_chain_pallas_aligned(
+            parts, stages[: n_stages - 1], w=w, h=h_in
+        )
+        return conv_chain_pallas_aligned(
+            head, stages[n_stages - 1 :], w=wh, h=hh
+        )
 
     ops = []
     rems = []

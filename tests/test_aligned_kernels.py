@@ -560,6 +560,67 @@ def test_conv3_chain_matches_sequential(shape, feats):
     assert float(jnp.max(jnp.abs(got[:, :, :, wo:]))) == 0.0
 
 
+def test_conv_chain_vmem_split_fallback(monkeypatch):
+    """When the scoped-VMEM model says a chain can't fit, it splits the
+    last stage off and recurses — numerically identical to the full
+    chain (this is the path wide-channel f32 graphs take)."""
+    from nconv_tpu.ops import pallas_chain
+    from nconv_tpu.ops.pallas_chain import conv_chain_pallas_aligned
+
+    B, h, c, w = 1, 16, 8, 130
+    x = jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
+    kbs = []
+    cin = c
+    for f in (16, 16, 8):
+        kbs.append((
+            jnp.asarray(rng.standard_normal((3, 3, cin, f)) * 0.2,
+                        jnp.float32),
+            jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32),
+        ))
+        cin = f
+    with pltpu.force_tpu_interpret_mode():
+        full, ho, wo = conv_chain_pallas_aligned(
+            _pad_lanes(x), kbs, w=w, tile_h=8
+        )
+        # force the fit model to reject everything chainable: every chain
+        # splits down to single-stage kernels
+        monkeypatch.setattr(pallas_chain, "_VMEM_CAP_BYTES", 1)
+        split, hs, ws_ = conv_chain_pallas_aligned(
+            _pad_lanes(x), kbs, w=w, tile_h=8
+        )
+    assert (ho, wo) == (hs, ws_)
+    np.testing.assert_allclose(
+        np.asarray(split[:, :ho, :8, :wo]),
+        np.asarray(full[:, :ho, :8, :wo]), atol=1e-4,
+    )
+
+
+def test_conv_chain_lane_clamp_overwide_part():
+    """A part allocated wider than round_up(w, 128) (zero lanes past the
+    data region) is DMA-clamped; the result matches the tight allocation."""
+    from nconv_tpu.ops.pallas_chain import conv2_chain_pallas_aligned
+
+    B, h, c, w, f = 1, 12, 8, 120, 8
+    x = jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, c, f)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, f, f)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    tight = _pad_lanes(x)                                  # wp = 128
+    wide = jnp.pad(tight, ((0, 0), (0, 0), (0, 0), (0, 128)))  # wp = 256
+    with pltpu.force_tpu_interpret_mode():
+        got_w, ho, wo = conv2_chain_pallas_aligned(
+            wide, k1, b1, k2, b2, w=w, tile_h=8
+        )
+        got_t, _, _ = conv2_chain_pallas_aligned(
+            tight, k1, b1, k2, b2, w=w, tile_h=8
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_w[:, :ho, :, :wo]),
+        np.asarray(got_t[:, :ho, :, :wo]), atol=1e-5,
+    )
+
+
 def test_conv3_chain_wsplit_fusion_geometry():
     """The NewFusionBlock WS tail as one 3-stage chain: two split parts
     (rgb_feat ‖ depth_feat) through three W-phase-split kernels == the
