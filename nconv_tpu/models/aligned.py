@@ -148,25 +148,6 @@ class WS(NamedTuple):
         return self.arr.shape[-1]
 
 
-class PendingConv(NamedTuple):
-    """A conv whose execution is deferred so its CONSUMER can fuse it into
-    a two-stage chain kernel (ops/pallas_chain.py): ``parts`` are the
-    aligned operands (ATs or WSs), ``kernel``/``bias`` the stage-A conv
-    params (already W-phase-split-transformed when parts are WSs, bias
-    tiled to the physical output channels), ``c`` its logical output
-    channels, and ``split`` whether the operands/output are WS form.
-    UpCat hands its final conv to NewFusionBlock this way, chaining it
-    with rgb_conv — the fout tensor never round-trips HBM."""
-
-    parts: tuple
-    kernel: jax.Array
-    bias: jax.Array
-    h: int
-    w: int
-    c: int
-    split: bool
-
-
 class Shared(NamedTuple):
     """Marker for a half-width operand whose 2x W nearest-repeat the full
     conv would consume: fed to the kernel ONCE, with the repeat folded into

@@ -64,19 +64,18 @@ class UpCat(nn.Module):
     backend: str = "xla"
     fold_bn: bool = False
     layout: str = "nhwc"
-    # aligned inference: hand the final conv to the consumer as a
-    # PendingConv so it fuses with rgb_conv in one two-stage kernel
-    chain_out: bool = False
 
     @nn.compact
     def __call__(self, rgb_skip, fusion, depth, train: bool = False):
         if self.layout == "bhcw":
-            from .aligned import AT, WS, PendingConv, concat_c
+            from .aligned import AT, WS, concat_c
 
             if isinstance(rgb_skip, WS):
                 # phase-split full-res stage: the upsample's rx phase planes
                 # ARE the split form (split_out — no d2s interleave), and the
-                # conv runs on [fout ‖ rgb_skip] as split-channel parts
+                # conv runs on [fout ‖ rgb_skip] as split-channel parts.
+                # (Deferring this conv into the consumer's chain kernel was
+                # measured SLOWER full-graph — see docs/ARCHITECTURE.md.)
                 assert isinstance(fusion, AT) and isinstance(depth, AT)
                 cat = concat_c(
                     [depth, fusion],
@@ -91,19 +90,6 @@ class UpCat(nn.Module):
                     self.features, dtype=self.dtype, backend=self.backend,
                     fold_bn=self.fold_bn, layout=self.layout, name="conv"
                 )
-                if self.chain_out:
-                    from ..ops.convops import conv_kernel_wsplit
-
-                    k_, b_ = conv(fout.c + rgb_skip.c, params_only=True)
-                    dt = fout.arr.dtype
-                    return PendingConv(
-                        (fout.arr, rgb_skip.arr),
-                        conv_kernel_wsplit(
-                            k_.astype(dt), [fout.c, rgb_skip.c]
-                        ),
-                        jnp.tile(b_.astype(dt), 2),
-                        fout.h, fout.w, self.features, True,
-                    )
                 return conv([fout, rgb_skip], train)
             if isinstance(fusion, AT):
                 # aligned inference graph: [depth ‖ fusion] is one small
@@ -122,18 +108,6 @@ class UpCat(nn.Module):
                     self.features, dtype=self.dtype, backend=self.backend,
                     fold_bn=self.fold_bn, layout=self.layout, name="conv"
                 )
-                if self.chain_out:
-                    from .aligned import _match_rows
-
-                    fout, skip = _match_rows([fout, rgb_skip])
-                    k_, b_ = conv(
-                        fout.logical_c + skip.logical_c, params_only=True
-                    )
-                    dt = fout.arr.dtype
-                    return PendingConv(
-                        (fout.arr, skip.arr), k_.astype(dt), b_.astype(dt),
-                        fout.h, fout.w, self.features, False,
-                    )
                 return conv([fout, rgb_skip], train)
             # plain-BHCW training graph: same blocks on (B, H, C, W) arrays
             fout = Basic2dTrans(
@@ -176,34 +150,7 @@ class NewFusionBlock(nn.Module):
             feats, dtype=self.dtype, backend=self.backend, layout=conv_layout,
             name=name,
         )
-        from .aligned import AT, WS, PendingConv
-
-        rgb_feat_pre = None
-        if isinstance(rgb, PendingConv):
-            # UpCat deferred its final conv: run it fused with rgb_conv as
-            # one two-stage kernel — fout never round-trips HBM. rgb_conv's
-            # params are created FIRST, preserving the submodule order.
-            from ..ops.convops import conv_kernel_wsplit
-            from ..ops.pallas_chain import conv2_chain_pallas_aligned
-
-            k_rgb, b_rgb = mk(self.rgb_channels, "rgb_conv")(
-                rgb.c, params_only=True
-            )
-            dt = rgb.parts[0].dtype
-            if rgb.split:
-                k_b = conv_kernel_wsplit(k_rgb.astype(dt), [rgb.c])
-                b_b = jnp.tile(b_rgb.astype(dt), 2)
-            else:
-                k_b, b_b = k_rgb.astype(dt), b_rgb.astype(dt)
-            out, ho, wo = conv2_chain_pallas_aligned(
-                list(rgb.parts), rgb.kernel, rgb.bias, k_b, b_b,
-                w=rgb.w // 2 if rgb.split else rgb.w, h=rgb.h,
-            )
-            rgb_feat_pre = (
-                WS(out, ho, rgb.w, self.rgb_channels) if rgb.split
-                else AT(out, ho, wo)
-            )
-            rgb = rgb_feat_pre  # dispatch the rest on the concrete form
+        from .aligned import AT, WS
 
         if self.layout == "bhcw" and isinstance(rgb, WS):
             # phase-split chain: same blocks on WS operands; the 1-channel
@@ -219,45 +166,36 @@ class NewFusionBlock(nn.Module):
                 )
                 if depth.arr.shape[2] < 8 else depth
             )
-            rgb_feat = (
-                rgb_feat_pre if rgb_feat_pre is not None
-                else mk(self.rgb_channels, "rgb_conv")(rgb)
-            )
+            rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
             depth_feat = mk(self.rgb_channels, "depth_conv")(d8)
-            # fuse_conv1 -> fuse_conv2 -> fuse_conv3 run as ONE three-stage
-            # kernel (both intermediates stay in VMEM; split kernels
-            # compose directly; the rgb‖depth feature concat feeds the
-            # kernel as two HBM parts)
-            from ..ops.convops import conv_kernel_wsplit
-            from ..ops.pallas_chain import conv_chain_pallas_aligned
-
-            k1_, b1_ = mk(self.rgb_channels, "fuse_conv1")(
-                rgb_feat.c + depth_feat.c, params_only=True
+            # fuse_conv1 runs standalone (the rgb‖depth feature concat
+            # feeds its multi-input kernel — no HBM concat); fuse_conv2 ->
+            # fuse_conv3 as ONE two-stage kernel. A 3-stage chain was
+            # measured SLOWER on hardware (+450 us full-graph: the deep
+            # chain forces 8-row tiles whose th+2N input windows re-read
+            # 1.75x the input and thrash VMEM) — see docs/ARCHITECTURE.md.
+            fused = mk(self.rgb_channels, "fuse_conv1")(
+                [rgb_feat, depth_feat]
             )
+            from ..ops.convops import conv_kernel_wsplit
+            from ..ops.pallas_chain import conv2_chain_pallas_aligned
+
             k2_, b2_ = mk(self.features, "fuse_conv2")(
-                self.rgb_channels, params_only=True
+                fused, params_only=True
             )
             k3_, b3_ = mk(self.features, "fuse_conv3")(
                 self.features, params_only=True
             )
-            dt = rgb_feat.arr.dtype
-            t2 = lambda b: jnp.tile(b.astype(dt), 2)
-            out, ho, wo = conv_chain_pallas_aligned(
-                [rgb_feat.arr, depth_feat.arr],
-                [
-                    (conv_kernel_wsplit(
-                        k1_.astype(dt), [rgb_feat.c, depth_feat.c]
-                    ), t2(b1_)),
-                    (conv_kernel_wsplit(
-                        k2_.astype(dt), [self.rgb_channels]
-                    ), t2(b2_)),
-                    (conv_kernel_wsplit(
-                        k3_.astype(dt), [self.features]
-                    ), t2(b3_)),
-                ],
-                w=rgb_feat.w // 2, h=rgb_feat.h,
+            dt = fused.arr.dtype
+            out, ho, wo = conv2_chain_pallas_aligned(
+                fused.arr,
+                conv_kernel_wsplit(k2_.astype(dt), [fused.c]),
+                jnp.tile(b2_.astype(dt), 2),
+                conv_kernel_wsplit(k3_.astype(dt), [self.features]),
+                jnp.tile(b3_.astype(dt), 2),
+                w=fused.w // 2, h=fused.h,
             )
-            return WS(out, ho, rgb_feat.w, self.features)
+            return WS(out, ho, fused.w, self.features)
         if self.layout == "bhcw" and isinstance(rgb, AT):
             # aligned-form chain: rgb/depth are ATs; the rgb‖depth feature
             # concat feeds the multi-input kernel directly (no HBM concat).
@@ -269,33 +207,28 @@ class NewFusionBlock(nn.Module):
                 if depth.channels < 8 else depth.arr,
                 depth.h, depth.w, depth.logical_c,
             )
-            rgb_feat = (
-                rgb_feat_pre if rgb_feat_pre is not None
-                else mk(self.rgb_channels, "rgb_conv")(rgb)
-            )
+            rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
             depth_feat = mk(self.rgb_channels, "depth_conv")(d8)
-            # fuse_conv1 -> fuse_conv2 -> fuse_conv3 as one three-stage
-            # kernel (both intermediates stay in VMEM; the rgb‖depth
-            # feature concat feeds the kernel as two HBM parts) — same
-            # param tree via params_only
-            from ..ops.pallas_chain import conv_chain_pallas_aligned
-
-            k1_, b1_ = mk(self.rgb_channels, "fuse_conv1")(
-                rgb_feat.logical_c + depth_feat.logical_c, params_only=True
+            # fuse_conv1 standalone + fuse_conv2 -> fuse_conv3 as one
+            # two-stage kernel (VMEM intermediate) — the 3-stage form
+            # measured slower on hardware (tile-depth tradeoff; see the
+            # WS branch note) — same param tree via params_only
+            fused = mk(self.rgb_channels, "fuse_conv1")(
+                [rgb_feat, depth_feat]
             )
+            from ..ops.pallas_chain import conv2_chain_pallas_aligned
+
             k2_, b2_ = mk(self.features, "fuse_conv2")(
-                self.rgb_channels, params_only=True
+                fused, params_only=True
             )
             k3_, b3_ = mk(self.features, "fuse_conv3")(
                 self.features, params_only=True
             )
-            dt = rgb_feat.arr.dtype
-            out, ho, wo = conv_chain_pallas_aligned(
-                [rgb_feat.arr, depth_feat.arr],
-                [(k1_.astype(dt), b1_.astype(dt)),
-                 (k2_.astype(dt), b2_.astype(dt)),
-                 (k3_.astype(dt), b3_.astype(dt))],
-                w=rgb_feat.w, h=rgb_feat.h,
+            dt = fused.arr.dtype
+            out, ho, wo = conv2_chain_pallas_aligned(
+                fused.arr, k2_.astype(dt), b2_.astype(dt),
+                k3_.astype(dt), b3_.astype(dt),
+                w=fused.w, h=fused.h,
             )
             return AT(out, ho, wo)
         edges = chain_bhcw and self.layout == "nhwc"
@@ -400,9 +333,6 @@ class FusionResolutionBlock(nn.Module):
         fout = UpCat(
             self.in_channels, dtype=self.dtype, backend=self.backend,
             fold_bn=self.fold_bn, layout=self.layout, name="upcat",
-            # aligned inference: defer the upcat conv so NewFusionBlock
-            # fuses it with rgb_conv in one two-stage kernel
-            chain_out=split or aligned,
         )(rgb, prev_fusion, prev_depth, train)
         depth = _downscale_depth(
             dense_depth, self.downsample_factor, self.layout,

@@ -355,7 +355,7 @@ class Basic2dTrans(nn.Module):
         Aligned form: the phased conv synthesizes its halo, and the d2s of an
         aligned array is itself aligned (zeros interleave to zeros)."""
         from .aligned import AT, _match_rows
-        from ..ops.convops import convtranspose_kernel_phases, depth_to_space_bhcw
+        from ..ops.convops import convtranspose_kernel_phases
         from ..ops.pallas_conv import conv2d_pallas_bhcw_aligned
 
         assert self.fold_bn and self.backend == "pallas"
@@ -368,20 +368,28 @@ class Basic2dTrans(nn.Module):
         dtype = self.dtype or parts[0].arr.dtype
         kph = convtranspose_kernel_phases(kernel.astype(dtype))
         bias4 = jnp.tile(bias.astype(dtype), 4)
-        out_ph, ho, wo = conv2d_pallas_bhcw_aligned(
-            [p.arr.astype(dtype) for p in parts], kph, bias4,
-            w=parts[0].w, h=parts[0].h, padding=1, relu=True,
-        )
         if self.split_out:
             # (ry, rx, c) phase channels: the ry row merge is a FREE reshape
             # and the rx planes [rx0 F | rx1 F] are exactly the W-phase-split
             # channel blocks — no lane interleave at all
             from .aligned import WS
 
+            out_ph, ho, wo = conv2d_pallas_bhcw_aligned(
+                [p.arr.astype(dtype) for p in parts], kph, bias4,
+                w=parts[0].w, h=parts[0].h, padding=1, relu=True,
+            )
             b, alloc, c4, wp = out_ph.shape
             rows = out_ph.reshape(b, 2 * alloc, c4 // 2, wp)
             return WS(rows, 2 * ho, 2 * wo, self.features)
-        return AT(depth_to_space_bhcw(out_ph, self.features), 2 * ho, 2 * wo)
+        # full-width output: the kernel performs the depth-to-space itself
+        # (lane interleave as constant selection matmuls on the MXU) — the
+        # XLA d2s copy (~74 MB at the fuse2 boundary) never runs
+        out, ho, wo = conv2d_pallas_bhcw_aligned(
+            [p.arr.astype(dtype) for p in parts], kph, bias4,
+            w=parts[0].w, h=parts[0].h, padding=1, relu=True,
+            d2s_channels=self.features,
+        )
+        return AT(out, 2 * ho, 2 * wo)
 
 
 class RGBEncoder(nn.Module):

@@ -264,6 +264,38 @@ def shortcut_kernel_s2d_aligned(kernel: jax.Array) -> jax.Array:
     return out.at[1, 1, 0:cin].set(kernel[0, 0])
 
 
+def conv_kernel_s2_rowpair(kernel: jax.Array) -> jax.Array:
+    """3x3 stride-2 pad-1 HWIO kernel -> a (2, 3, 2*cin, cout) kernel over
+    the ROW-PAIR view of the input: ``x.reshape(b, h/2, 2*cin, wp)`` stacks
+    each even/odd row pair as channel blocks [even cin | odd cin] — a FREE
+    metadata reshape of the aligned (B, H, C, Wp) tensor, so the stride-2
+    space-to-depth never materializes in HBM at all.
+
+    Derivation: out(r, wo) = sum_{dy,dx} K[dy,dx] x[2r+dy-1, 2wo+dx-1].
+    Full row 2r-1 is the ODD block of pair row r-1; rows 2r, 2r+1 are the
+    EVEN/ODD blocks of pair row r — a kh=2 window (pad_top=1) with taps
+    K[0]->ky0/odd, K[1]->ky1/even, K[2]->ky1/odd. The kw=3 lane taps stay
+    at FULL width; the consumer kernel decimates lanes with a stride-2
+    selection matmul on the MXU (``lane_stride2`` in ops.pallas_conv).
+    """
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3), "row-pair s2 form is for the 3x3/s2 encoders"
+    out = jnp.zeros((2, 3, 2 * cin, cout), kernel.dtype)
+    out = out.at[0, :, cin:].set(kernel[0])       # dy=0 -> ky0, odd block
+    out = out.at[1, :, :cin].set(kernel[1])       # dy=1 -> ky1, even block
+    out = out.at[1, :, cin:].set(kernel[2])       # dy=2 -> ky1, odd block
+    return out
+
+
+def shortcut_kernel_s2_rowpair(kernel: jax.Array) -> jax.Array:
+    """1x1 stride-2 kernel in the row-pair form: out(r) = K x[2r] = EVEN
+    block at ky=1, center lane tap (dx=1 under pad_left=1)."""
+    assert kernel.shape[:2] == (1, 1)
+    _, _, cin, cout = kernel.shape
+    out = jnp.zeros((2, 3, 2 * cin, cout), kernel.dtype)
+    return out.at[1, 1, :cin].set(kernel[0, 0])
+
+
 def conv_kernel_s2d(kernel: jax.Array) -> jax.Array:
     """HWIO stride-2 kernel -> the stride-1 kernel over a space-to-depth
     input: K'[qy, qx, (py, px, ci), co] = K[2qy+py, 2qx+px, ci, co]."""

@@ -17,11 +17,14 @@ conv for tiling purposes — a tile of ``th`` output rows consumes
 intermediate rows in its scratch buffer. The input DMA is double-buffered
 across grid steps exactly like the single-conv kernel.
 
-Used by NewFusionBlock (models/guided.py): the whole
-fuse_conv1 -> fuse_conv2 -> fuse_conv3 tail runs as one 3-stage chain, and
-UpCat's final conv chains with rgb_conv (via models/aligned.py:PendingConv)
-as a 2-stage chain. Inference-only (the training graph keeps separate
-differentiable convs).
+Used by NewFusionBlock (models/guided.py): fuse_conv2 -> fuse_conv3 runs
+as one 2-stage chain. Deeper compositions were measured SLOWER full-graph
+on v5e (a 3-stage tail and an UpCat-conv+rgb_conv chain cost ~450 us
+combined): an N-stage chain's tile reads th+2N input rows per th output
+rows, and the VMEM-forced th=8 re-reads 1.75x the input at N=3 — the
+HBM round-trip it saves is cheaper. The kernel still supports any N for
+narrower/shallower geometries. Inference-only (the training graph keeps
+separate differentiable convs).
 """
 from __future__ import annotations
 

@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -96,7 +97,8 @@ def _kernel(*refs, kh: int, kw: int,
             w_out: int, wp_out: int, relu: bool, use_bias: bool, g: int,
             residual: bool, n_tiles: int, n_total: int, pad_top: int,
             pad_left: int, h_in: int, h_out: int, part_cs: tuple,
-            part_wps: tuple, aligned_out: bool):
+            part_wps: tuple, aligned_out: bool, d2s_f: int | None = None,
+            wp_full: int = 0, s2g: bool = False, wp_acc: int = 0):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
     The input may be SEVERAL aligned-form HBM refs (a logical channel
@@ -114,7 +116,10 @@ def _kernel(*refs, kh: int, kw: int,
     """
     n_parts = len(part_cs)
     x_hbms = refs[:n_parts]
-    w2_ref, bias_ref, out_ref, xs, sem = refs[n_parts:]
+    if d2s_f is not None or s2g:
+        w2_ref, bias_ref, s2_ref, out_ref, xs, sem = refs[n_parts:]
+    else:
+        w2_ref, bias_ref, out_ref, xs, sem = refs[n_parts:]
     coffs = [sum(part_cs[:i]) for i in range(n_parts)]
     idx = pl.program_id(0)
     rows_full = th + kh - 1
@@ -229,6 +234,33 @@ def _kernel(*refs, kh: int, kw: int,
                 res = res + bias_col
             if relu:
                 res = jnp.maximum(res, 0.0)
+        if d2s_f is not None:
+            # depth-to-space epilogue: output channels are (ry, rx, f)
+            # transpose-conv phases — emit the FULL-width interleaved rows
+            # directly via two constant 0/1 selection matmuls per row
+            # parity (lane scatter = matmul with S[k, 2k+rx] = 1, k < w_out;
+            # zero S rows blank the pad lanes, so the result is aligned-form
+            # with no masking). Mosaic has no lane-stride stores; the MXU
+            # does the interleave instead, and the XLA d2s copy (~74 MB at
+            # the fuse2 boundary) never runs.
+            resg = res.reshape(g, cout, wp_out).astype(out_ref.dtype)
+            halves = []
+            for ry in range(2):
+                ev = resg[:, ry * 2 * d2s_f : ry * 2 * d2s_f + d2s_f]
+                od = resg[:, ry * 2 * d2s_f + d2s_f : (ry + 1) * 2 * d2s_f]
+                full = lax.dot_general(
+                    ev.reshape(g * d2s_f, wp_out), s2_ref[0],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32,
+                ) + lax.dot_general(
+                    od.reshape(g * d2s_f, wp_out), s2_ref[1],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32,
+                )
+                halves.append(
+                    full.reshape(g, 1, d2s_f, wp_full).astype(out_ref.dtype)
+                )
+            rows2 = jnp.concatenate(halves, 1).reshape(2 * g, d2s_f, wp_full)
+            out_ref[0, pl.ds(2 * h0, 2 * g)] = rows2
+            return 0
         if mask_lanes:
             res = jnp.where(lane_ok, res, 0.0)  # aligned form: zero pad lanes
         out_ref[0, pl.ds(h0, g)] = res.reshape(g, cout_store, wp_out).astype(
@@ -241,11 +273,11 @@ def _kernel(*refs, kh: int, kw: int,
     # aligned form: output rows past h_out (tile overhang) must be zeros
     overhang = n_tiles * th - h_out
     if overhang and aligned_out:
+        scale = 2 if d2s_f is not None else 1
         @pl.when(t == n_tiles - 1)
         def _zero_tail_rows():
-            out_ref[0, th - min(overhang, th) :] = jnp.zeros_like(
-                out_ref[0, th - min(overhang, th) :]
-            )
+            cut = scale * (th - min(overhang, th))
+            out_ref[0, cut:] = jnp.zeros_like(out_ref[0, cut:])
 
 
 def _conv_core(
@@ -264,6 +296,7 @@ def _conv_core(
     tile_h: int | None,
     residual_channels: int | None,
     aligned_out: bool,
+    d2s_channels: int | None = None,
 ) -> jax.Array:
     """Shared core. ``parts`` is a list of (B, Hx_i, c_i, wp_i) aligned-form
     arrays forming a logical channel concat — each has data at rows
@@ -286,6 +319,9 @@ def _conv_core(
     cout_store = residual_channels if residual else cout
     if residual:
         assert cout == 2 * cout_store, (cout, cout_store)
+    if d2s_channels is not None:
+        assert not residual and cout == 4 * d2s_channels, (cout, d2s_channels)
+    wp_full = _round_up(2 * w_out, 128) if d2s_channels is not None else 0
     x_dtype = parts[0].dtype
     out_dtype = kernel.dtype if jnp.issubdtype(x_dtype, jnp.integer) else x_dtype
 
@@ -300,16 +336,23 @@ def _conv_core(
 
     itemsize = jnp.dtype(x_dtype).itemsize
     wp_s = wp_in + 2 * FRONT
+    out_itemsize = jnp.dtype(out_dtype).itemsize
     fixed = (
         w2.size * 4
         + 2 * (kh + g - 1) * cin * wp_s * itemsize
         + 2 * g * cout * wp_out * 4
     )
+    if d2s_channels is not None:
+        # scatter constants + the full-width interleave temporaries
+        fixed += 2 * wp_out * wp_full * out_itemsize
+        fixed += 2 * g * d2s_channels * wp_full * 4
+    rout = (
+        2 * d2s_channels * wp_full if d2s_channels is not None
+        else cout_store * wp_out
+    ) * out_itemsize
     if tile_h is None:
         tile_h = auto_tile_h(
-            cin * wp_s * itemsize,
-            cout_store * wp_out * jnp.dtype(out_dtype).itemsize,
-            kh, h_out, fixed_bytes=fixed,
+            cin * wp_s * itemsize, rout, kh, h_out, fixed_bytes=fixed,
         )
     th = min(_round_up(tile_h, g), _round_up(h_out, g))
     if aligned_out:
@@ -340,28 +383,39 @@ def _conv_core(
         g=g, residual=residual, n_tiles=n_tiles, n_total=n_total,
         pad_top=pad_top, pad_left=pad_left, h_in=h_in, h_out=h_out,
         part_cs=part_cs, part_wps=part_wps, aligned_out=aligned_out,
+        d2s_f=d2s_channels, wp_full=wp_full,
     )
+    extra_ops = []
+    if d2s_channels is not None:
+        # lane-scatter constants: S[rx, k, 2k+rx] = 1 for k < w_out; zero
+        # rows past w_out blank the conv's pad lanes, so the interleaved
+        # output is aligned-form with no extra masking
+        s2 = np.zeros((2, wp_out, wp_full), np.float32)
+        ks = np.arange(w_out)
+        s2[0, ks, 2 * ks] = 1.0
+        s2[1, ks, 2 * ks + 1] = 1.0
+        extra_ops.append(jnp.asarray(s2, out_dtype))
+    rows_store = 2 * th if d2s_channels is not None else th
+    c_store = d2s_channels if d2s_channels is not None else cout_store
+    wp_store = wp_full if d2s_channels is not None else wp_out
     return pl.pallas_call(
         kfun,
         grid=(n_total,),  # flattened (batch, H-tile) for cross-step prefetch
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(parts)  # HBM
-        + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(extra_ops)),
         out_specs=pl.BlockSpec(
-            (1, th, cout_store, wp_out),
+            (1, rows_store, c_store, wp_store),
             lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b, n_tiles * th, cout_store, wp_out), out_dtype
+            (b, n_tiles * rows_store, c_store, wp_store), out_dtype
         ),
         scratch_shapes=[
             pltpu.VMEM((2, th + kh - 1, cin, wp_s), x_dtype),
             pltpu.SemaphoreType.DMA((2, len(parts))),
         ],
-    )(*parts, w2, bias_arr)
+    )(*parts, w2, bias_arr, *extra_ops)
 
 
 def conv2d_pallas_bhcw_aligned(
@@ -379,10 +433,18 @@ def conv2d_pallas_bhcw_aligned(
     relu: bool = False,
     tile_h: int | None = None,
     residual_channels: int | None = None,
+    d2s_channels: int | None = None,
 ) -> tuple[jax.Array, int, int]:
     """Aligned-form conv: ``x`` (B, Hx, cin, Wp) with data at rows [0, h) x
     lanes [0, w), zeros elsewhere. Returns ``(out, h_out, w_out)`` where
     ``out`` is aligned-form (B, alloc >= h_out, cout, round_up(w_out, 128)).
+
+    ``d2s_channels=F``: the kernel's output channels are 4F transpose-conv
+    phases in (ry, rx, f) order, and the kernel performs the depth-to-space
+    itself — the returned array is (B, alloc >= 2*h_out, F,
+    round_up(2*w_out, 128)) full-resolution aligned form (lane interleave
+    via constant selection matmuls on the MXU; the returned ``(h_out,
+    w_out)`` stay the CONV geometry — the caller doubles them).
 
     No XLA pad is issued anywhere: halos are synthesized in the kernel
     (zeroed scratch rows / a zeroed lane margin). Inference-only fast path —
@@ -418,6 +480,7 @@ def conv2d_pallas_bhcw_aligned(
         pad_top=pt, pad_left=pl_, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=_round_up(w_out, 128), relu=relu, tile_h=tile_h,
         residual_channels=residual_channels, aligned_out=True,
+        d2s_channels=d2s_channels,
     )
     return out, h_out, w_out
 

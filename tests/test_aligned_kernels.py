@@ -595,6 +595,45 @@ def test_conv_chain_vmem_split_fallback(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("shape,f", [
+    ((1, 12, 8, 130), 8),
+    ((2, 10, 16, 140), 16),   # multi-row-group, wider channels
+])
+def test_conv_d2s_epilogue_matches_xla_interleave(shape, f):
+    """conv(..., d2s_channels=F): the kernel emits full-width interleaved
+    rows via constant selection matmuls == phase conv + XLA depth_to_space.
+    This is the transpose-conv (Basic2dTrans) inference form."""
+    from nconv_tpu.ops.convops import (
+        convtranspose_kernel_phases,
+        depth_to_space_bhcw,
+    )
+
+    B, h, c, w = shape
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    kt = jnp.asarray(rng.standard_normal((4, 4, c, f)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    kph = convtranspose_kernel_phases(kt)
+    bias4 = jnp.tile(bias, 4)
+    with pltpu.force_tpu_interpret_mode():
+        out_ph, ho, wo = conv2d_pallas_bhcw_aligned(
+            _pad_lanes(x), kph, bias4, w=w, padding=1, relu=True,
+        )
+        ref = depth_to_space_bhcw(out_ph[:, :ho, :, : _round_up(wo, 128)],
+                                  f)
+        got, ho2, wo2 = conv2d_pallas_bhcw_aligned(
+            _pad_lanes(x), kph, bias4, w=w, padding=1, relu=True,
+            d2s_channels=f,
+        )
+    assert (ho2, wo2) == (ho, wo)
+    np.testing.assert_allclose(
+        np.asarray(got[:, : 2 * ho, :, : 2 * wo]),
+        np.asarray(ref[:, : 2 * ho, :, : 2 * wo]), atol=1e-4,
+    )
+    # aligned form: zeros outside the data region
+    assert float(jnp.max(jnp.abs(got[:, :, :, 2 * wo :]))) == 0.0
+    assert float(jnp.max(jnp.abs(got[:, 2 * ho :]))) == 0.0
+
+
 def test_conv_chain_lane_clamp_overwide_part():
     """A part allocated wider than round_up(w, 128) (zero lanes past the
     data region) is DMA-clamped; the result matches the tight allocation."""
