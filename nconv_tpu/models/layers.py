@@ -486,18 +486,17 @@ class RGBEncoder(nn.Module):
 
     def _fused_bhcw(self, x):
         """Aligned-form fused block (see models/aligned.py): one kernel for
-        the whole residual stage, no XLA pads; stride 2 goes through a
-        canvas-free space-to-depth whose halo the consumer kernel
-        synthesizes (ops/convops.py conv_kernel_s2d_aligned)."""
-        from .aligned import AT, realign
+        the whole residual stage, no XLA pads; stride 2 runs on the FREE
+        row-pair channel-stack reshape — the WS input's pair rows ARE the
+        (py, px, c) s2d order (conv_kernel_s2d_aligned), and the AT input
+        uses full-lane taps + an in-kernel stride-2 lane gather
+        (conv_kernel_s2_rowpair + lane_stride2)."""
+        from .aligned import AT, WS
         from ..ops.convops import (
             conv_kernel_s2d_aligned,
             shortcut_kernel_s2d_aligned,
-            space_to_depth_aligned_parts,
         )
         from ..ops.pallas_conv import conv2d_pallas_bhcw_aligned
-
-        from .aligned import WS
 
         assert self.fold_bn and self.backend == "pallas"
         assert isinstance(x, (AT, WS)), "bhcw layout expects aligned-form input"
@@ -538,19 +537,20 @@ class RGBEncoder(nn.Module):
             )
             return WS(out, ho, 2 * wo, F)
         if isinstance(x, WS):
-            # pre-split input (the shared r0 W-split): the s2d (py, px, c)
-            # phase parts are two cheap row slices of the [ev|od] channel
-            # stack — py from rows, px already in channels. Same kernel
-            # geometry as the 4-part form.
+            # pre-split input (the shared r0 W-split): the row-pair reshape
+            # (b, alloc/2, 2*c2, wp) stacks each even/odd ROW pair as
+            # channel blocks — with the [lane-ev | lane-od] WS channels
+            # inside, the result is EXACTLY the (py, px, c) s2d channel
+            # order as ONE free metadata reshape: no XLA slice, no copy.
             assert self.stride == 2 and x.c * 2 == x.arr.shape[2]
             km = conv_kernel_s2d_aligned(k_main.astype(dtype))
             ks = shortcut_kernel_s2d_aligned(k_short.astype(dtype))
             kcat = jnp.concatenate([km, ks], -1)
             b_, alloc, c2, wp = x.arr.shape
             assert alloc % 2 == 0, alloc
-            v = x.arr.astype(dtype).reshape(b_, alloc // 2, 2, c2, wp)
+            v2 = x.arr.astype(dtype).reshape(b_, alloc // 2, 2 * c2, wp)
             out, ho, wo = conv2d_pallas_bhcw_aligned(
-                [v[:, :, 0], v[:, :, 1]], kcat, b_main.astype(dtype),
+                v2, kcat, b_main.astype(dtype),
                 w=x.w // 2, h=x.h // 2,
                 pad_top=1, pad_bottom=0, pad_left=1, pad_right=0,
                 residual_channels=self.features,
@@ -576,18 +576,28 @@ class RGBEncoder(nn.Module):
             )
             return AT(out, ho, wo)
         assert self.stride == 2
-        xin = x.arr.astype(dtype)  # s2d re-layout happens in XLA: decode first
-        phases = [
-            realign(AT(p, x.h // 2, x.w // 2))
-            for p in space_to_depth_aligned_parts(xin)
-        ]
-        km = conv_kernel_s2d_aligned(k_main)  # (2, 2, 4cin, f)
-        ks = shortcut_kernel_s2d_aligned(k_short)
-        kcat = jnp.concatenate([km, ks], -1)
+        # row-pair + lane-gather stride-2: the even/odd row pair stacks as
+        # channel blocks via a FREE reshape, the kw=3 lane taps run at full
+        # width, and a 0/1 gather matmul on the MXU keeps even lanes
+        # (ops/pallas_conv.py lane_stride2) — the XLA space-to-depth
+        # (95 MB at the enc2 boundary) never materializes.
+        from ..ops.convops import (
+            conv_kernel_s2_rowpair,
+            shortcut_kernel_s2_rowpair,
+        )
+
+        xin = x.arr.astype(dtype)
+        b_, alloc, cph, wp = xin.shape
+        assert alloc % 2 == 0, alloc
+        v2 = xin.reshape(b_, alloc // 2, 2 * cph, wp)
+        kcat = jnp.concatenate(
+            [conv_kernel_s2_rowpair(k_main),
+             shortcut_kernel_s2_rowpair(k_short)], -1
+        )
         out, ho, wo = conv2d_pallas_bhcw_aligned(
-            [p.arr for p in phases], kcat, b_main, w=phases[0].w,
-            h=phases[0].h, pad_top=1, pad_bottom=0, pad_left=1, pad_right=0,
-            residual_channels=self.features,
+            v2, kcat, b_main, w=x.w, h=x.h // 2,
+            pad_top=1, pad_bottom=0, pad_left=1, pad_right=0,
+            residual_channels=self.features, lane_stride2=True,
         )
         return AT(out, ho, wo)
 

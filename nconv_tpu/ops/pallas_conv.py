@@ -207,14 +207,26 @@ def _kernel(*refs, kh: int, kw: int,
             # (Mosaic lacks a direct u8->f32 cast; widen to i32 first.)
             a = a.astype(jnp.int32).astype(f32)
         a = a.reshape(k_rows, wp_s)
-        acc = jnp.zeros((g * cout, wp_out), f32)
+        wp_conv = wp_acc if s2g else wp_out
+        acc = jnp.zeros((g * cout, wp_conv), f32)
         for dx in range(kw):
             off = FRONT - pad_left + dx
             acc += lax.dot_general(
                 w2_ref[dx],
-                a[:, off : off + wp_out],
+                a[:, off : off + wp_conv],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
+            )
+        if s2g:
+            # lane-stride-2 decimation: the conv ran at FULL lane width on
+            # the row-pair form; keep every second lane via one constant
+            # 0/1 gather matmul (Sg[2k, k] = 1, k < w_out — zero columns
+            # blank the pad lanes). Exact for 0/1 weights; for bf16 graphs
+            # acc rounds to bf16 here (one rounding earlier than the
+            # store). The XLA space-to-depth (95 MB at enc2) never runs.
+            acc = lax.dot_general(
+                acc.astype(out_ref.dtype), s2_ref[:, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
             )
         if residual:
             # dual conv: channels [0:cout_store) are the main conv, the rest
@@ -297,6 +309,7 @@ def _conv_core(
     residual_channels: int | None,
     aligned_out: bool,
     d2s_channels: int | None = None,
+    lane_stride2: bool = False,
 ) -> jax.Array:
     """Shared core. ``parts`` is a list of (B, Hx_i, c_i, wp_i) aligned-form
     arrays forming a logical channel concat — each has data at rows
@@ -321,7 +334,11 @@ def _conv_core(
         assert cout == 2 * cout_store, (cout, cout_store)
     if d2s_channels is not None:
         assert not residual and cout == 4 * d2s_channels, (cout, d2s_channels)
+        assert not lane_stride2
     wp_full = _round_up(2 * w_out, 128) if d2s_channels is not None else 0
+    # lane-stride-2 form: the conv runs at full lane width (the data spans
+    # [0, w_in) = [0, 2*w_out)), then a gather matmul keeps even lanes
+    wp_acc = _round_up(w_in, 128) if lane_stride2 else 0
     x_dtype = parts[0].dtype
     out_dtype = kernel.dtype if jnp.issubdtype(x_dtype, jnp.integer) else x_dtype
 
@@ -346,6 +363,10 @@ def _conv_core(
         # scatter constants + the full-width interleave temporaries
         fixed += 2 * wp_out * wp_full * out_itemsize
         fixed += 2 * g * d2s_channels * wp_full * 4
+    if lane_stride2:
+        # gather constant + the full-lane-width accumulator
+        fixed += wp_acc * wp_out * out_itemsize
+        fixed += 2 * g * cout * wp_acc * 4
     rout = (
         2 * d2s_channels * wp_full if d2s_channels is not None
         else cout_store * wp_out
@@ -383,7 +404,7 @@ def _conv_core(
         g=g, residual=residual, n_tiles=n_tiles, n_total=n_total,
         pad_top=pad_top, pad_left=pad_left, h_in=h_in, h_out=h_out,
         part_cs=part_cs, part_wps=part_wps, aligned_out=aligned_out,
-        d2s_f=d2s_channels, wp_full=wp_full,
+        d2s_f=d2s_channels, wp_full=wp_full, s2g=lane_stride2, wp_acc=wp_acc,
     )
     extra_ops = []
     if d2s_channels is not None:
@@ -395,6 +416,12 @@ def _conv_core(
         s2[0, ks, 2 * ks] = 1.0
         s2[1, ks, 2 * ks + 1] = 1.0
         extra_ops.append(jnp.asarray(s2, out_dtype))
+    if lane_stride2:
+        # lane-gather constant: Sg[2k, k] = 1 for k < w_out
+        sg = np.zeros((wp_acc, wp_out), np.float32)
+        ks = np.arange(w_out)
+        sg[2 * ks, ks] = 1.0
+        extra_ops.append(jnp.asarray(sg, out_dtype))
     rows_store = 2 * th if d2s_channels is not None else th
     c_store = d2s_channels if d2s_channels is not None else cout_store
     wp_store = wp_full if d2s_channels is not None else wp_out
@@ -434,6 +461,7 @@ def conv2d_pallas_bhcw_aligned(
     tile_h: int | None = None,
     residual_channels: int | None = None,
     d2s_channels: int | None = None,
+    lane_stride2: bool = False,
 ) -> tuple[jax.Array, int, int]:
     """Aligned-form conv: ``x`` (B, Hx, cin, Wp) with data at rows [0, h) x
     lanes [0, w), zeros elsewhere. Returns ``(out, h_out, w_out)`` where
@@ -474,13 +502,20 @@ def conv2d_pallas_bhcw_aligned(
     pr = pl_ if pad_right is None else pad_right
     h_in = parts[0].shape[1] if h is None else h
     h_out = h_in + pt + pb - (kh - 1)
-    w_out = w + pl_ + pr - (kw - 1)
+    if lane_stride2:
+        # stride-2-in-W form over the row-pair view (conv_kernel_s2_rowpair):
+        # the kw=3 pad-1 lane taps run at FULL width, a gather matmul keeps
+        # even lanes — out[wo] = full_conv[2*wo], wo < w/2
+        assert kw == 3 and pl_ == 1 and w % 2 == 0, (kw, pl_, w)
+        w_out = w // 2
+    else:
+        w_out = w + pl_ + pr - (kw - 1)
     out = _conv_core(
         parts, kernel, bias,
         pad_top=pt, pad_left=pl_, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=_round_up(w_out, 128), relu=relu, tile_h=tile_h,
         residual_channels=residual_channels, aligned_out=True,
-        d2s_channels=d2s_channels,
+        d2s_channels=d2s_channels, lane_stride2=lane_stride2,
     )
     return out, h_out, w_out
 

@@ -596,6 +596,51 @@ def test_conv_chain_vmem_split_fallback(monkeypatch):
 
 
 @pytest.mark.parametrize("shape,f", [
+    ((1, 16, 8, 140), 16),
+    ((2, 20, 16, 260), 8),
+])
+def test_rowpair_lane_stride2_matches_strided_residual_block(shape, f):
+    """Row-pair + lane-gather stride-2 form == 3x3/s2/p1 residual encoder:
+    the input is a FREE (b, h/2, 2c, wp) reshape (even/odd row pair as
+    channel blocks), the kw=3 lane taps run at full width, and a 0/1
+    gather matmul keeps even lanes — no space-to-depth in XLA at all."""
+    from nconv_tpu.ops.convops import (
+        conv_kernel_s2_rowpair,
+        shortcut_kernel_s2_rowpair,
+    )
+
+    B, h, c, w = shape
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    km = jnp.asarray(rng.standard_normal((3, 3, c, f)) * 0.2, jnp.float32)
+    ks = jnp.asarray(rng.standard_normal((1, 1, c, f)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    xp = _pad_lanes(x)
+    v2 = xp.reshape(B, h // 2, 2 * c, xp.shape[-1])
+    kcat = jnp.concatenate(
+        [conv_kernel_s2_rowpair(km), shortcut_kernel_s2_rowpair(ks)], -1
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv2d_pallas_bhcw_aligned(
+            v2, kcat, b, w=w, h=h // 2, pad_top=1, pad_bottom=0,
+            pad_left=1, pad_right=0, residual_channels=f, lane_stride2=True,
+        )
+    xn = jnp.transpose(x, (0, 1, 3, 2))
+    dn = ("NHWC", "HWIO", "NHWC")
+    main = lax.conv_general_dilated(
+        xn, km, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn
+    )
+    short = lax.conv_general_dilated(
+        xn, ks, (2, 2), ((0, 0), (0, 0)), dimension_numbers=dn
+    )
+    ref = jnp.transpose(jax.nn.relu(main + b) + short, (0, 1, 3, 2))
+    assert (ho, wo) == (ref.shape[1], ref.shape[3])
+    np.testing.assert_allclose(
+        np.asarray(got[:, :ho, :, :wo]), np.asarray(ref), atol=1e-4
+    )
+    assert float(jnp.max(jnp.abs(got[:, :, :, wo:]))) == 0.0
+
+
+@pytest.mark.parametrize("shape,f", [
     ((1, 12, 8, 130), 8),
     ((2, 10, 16, 140), 16),   # multi-row-group, wider channels
 ])
