@@ -153,7 +153,18 @@ class Shared(NamedTuple):
     conv would consume: fed to the kernel ONCE, with the repeat folded into
     the tap coefficients (conv_kernel_wsplit_parts mode='shared') — the
     upsample never materializes. ``at.w`` must equal half the consumer's
-    full logical width."""
+    full logical width. W-phase-split consumers only."""
+
+    at: AT
+
+
+class Up2(NamedTuple):
+    """Marker for a half-resolution operand whose 2x nearest upsample a
+    FULL-width aligned consumer would read: the kernel DMAs the half-rows
+    (duplicated in VMEM, ``row_shared``) and spreads the half lanes with a
+    constant nearest-repeat matmul on the MXU (``lane_rep`` in
+    ops.pallas_nconv_mxu) — the upsample never materializes in HBM.
+    ``at.h``/``at.w`` must be half the consumer's logical geometry."""
 
     at: AT
 

@@ -42,13 +42,14 @@ class NConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, data, conf):
-        from .aligned import AT, WS, Shared
+        from .aligned import AT, WS, Shared, Up2
 
         # data/conf may be ATs, WSs / Shared markers (W-phase-split chain),
-        # or parallel lists thereof (logical channel concat fed to the
+        # Up2 markers (half-res sources upsampled IN the kernel), or
+        # parallel lists thereof (logical channel concat fed to the
         # multi-input kernel — no HBM concat)
         d_parts = (
-            [data] if isinstance(data, (AT, WS, Shared)) else
+            [data] if isinstance(data, (AT, WS, Shared, Up2)) else
             list(data) if isinstance(data, (list, tuple)) else None
         )
         split = d_parts is not None and any(
@@ -60,7 +61,10 @@ class NConv2d(nn.Module):
                 p.c if isinstance(p, WS) else p.at.logical_c for p in d_parts
             )
         elif aligned:
-            cin = sum(p.logical_c for p in d_parts)
+            cin = sum(
+                p.at.logical_c if isinstance(p, Up2) else p.logical_c
+                for p in d_parts
+            )
         else:
             ch_axis = 2 if self.layout == "bhcw" else -1
             cin = data.shape[ch_axis]
@@ -126,17 +130,36 @@ class NConv2d(nn.Module):
             from ..ops.pallas_nconv_mxu import nconv2d_pallas_aligned
 
             assert self.backend == "pallas" and self.stride == 1
-            c_parts = [conf] if isinstance(conf, AT) else list(conf)
-            both = _match_rows(d_parts + c_parts)
-            d_parts, c_parts = both[: len(d_parts)], both[len(d_parts) :]
+            c_parts = (
+                [conf] if isinstance(conf, (AT, Up2)) else list(conf)
+            )
+            up2 = tuple(isinstance(p, Up2) for p in d_parts)
+            ref = next(p for p, u in zip(d_parts, up2) if not u)
+            if any(up2):
+                # Up2 parts carry the half-res source; the kernel
+                # duplicates rows in VMEM and lane-repeats via a constant
+                # MXU matmul — the upsample never exists in HBM
+                for p, u in zip(d_parts + c_parts, up2 + up2):
+                    if u:
+                        assert (2 * p.at.h, 2 * p.at.w) == (ref.h, ref.w), (
+                            (p.at.h, p.at.w), (ref.h, ref.w)
+                        )
+                unwrap = lambda p, u: p.at if u else p
+                d_parts = [unwrap(p, u) for p, u in zip(d_parts, up2)]
+                c_parts = [unwrap(p, u) for p, u in zip(c_parts, up2)]
+            else:
+                both = _match_rows(d_parts + c_parts)
+                d_parts, c_parts = both[: len(d_parts)], both[len(d_parts) :]
             dtype = self.dtype or d_parts[0].arr.dtype
             out, carr, ho, wo = nconv2d_pallas_aligned(
                 [p.arr.astype(dtype) for p in d_parts],
                 [p.arr.astype(dtype) for p in c_parts],
                 kernel.astype(dtype),
                 bias.astype(dtype),
-                w=d_parts[0].w, h=d_parts[0].h, padding=self.padding,
+                w=ref.w, h=ref.h, padding=self.padding,
                 pos_fn=self.pos_fn, eps=self.eps,
+                row_shared=up2 if any(up2) else None,
+                lane_rep=up2 if any(up2) else None,
             )
             return AT(out, ho, wo), AT(carr, ho, wo)
         dtype = self.dtype or data.dtype

@@ -148,7 +148,7 @@ class NConvUNet(nn.Module):
         kernel part (W-repeat folded into the taps) — so no full-width lane
         interleave or repeat ever materializes; only the 1-channel output
         merges."""
-        from .aligned import AT, Shared, WS, _round_up, realign, wmerge
+        from .aligned import AT, Shared, Up2, WS, _round_up, realign, wmerge
 
         c = self.num_channels
         # entry: 1-ch split, channels padded to the granule (Mosaic DMA
@@ -182,13 +182,6 @@ class NConvUNet(nn.Module):
                 realign(AT(cp, x.h // 2, x.w // 2)),
             )
 
-        def up2(t, ref):
-            # ref fixes the grid; the lane allocation can differ from the
-            # skip's (the multi-input kernel takes per-part lane widths)
-            assert (2 * t.h, 2 * t.w) == (ref.h, ref.w), (t, ref.h, ref.w)
-            arr = jnp.repeat(jnp.repeat(t.arr, 2, axis=1), 2, axis=3)
-            return AT(arr, 2 * t.h, 2 * t.w, t.c)
-
         x1d, c1d = pool_ws(x1), pool_ws(c1)
         x2, c2 = mk(c, 5, 2, name="nconv_down1")(x1d, c1d)
         x2d, c2d = pool(x2, c2)
@@ -197,12 +190,15 @@ class NConvUNet(nn.Module):
         x4, c4 = mk(c, 5, 2, name="nconv_down3")(x3d, c3d)
 
         # decoder concats feed the multi-input kernel as separate parts —
-        # no (x ‖ skip) concat ever materializes in HBM
+        # no (x ‖ skip) concat ever materializes in HBM; the 2x nearest
+        # upsamples feed their HALF-res sources directly (Up2: rows
+        # duplicate in VMEM, lanes spread via a constant MXU matmul) — no
+        # repeat in HBM either
         x34, c34 = mk(c, 3, 1, name="nconv4")(
-            [x3, up2(x4, x3)], [c3, up2(c4, c3)]
+            [x3, Up2(x4)], [c3, Up2(c4)]
         )
         x23, c23 = mk(c, 3, 1, name="nconv5")(
-            [x2, up2(x34, x2)], [c2, up2(c34, c2)]
+            [x2, Up2(x34)], [c2, Up2(c34)]
         )
         # the decoder upsample feeds its HALF-width, HALF-row source
         # directly: the W repeat folds into the kernel taps and the row

@@ -52,7 +52,8 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
             th: int, w_out: int, wp_out: int, eps: float, n_tiles: int,
             n_total: int, pad_top: int, pad_left: int, h_in: int,
             h_out: int, part_cs: tuple, part_wps: tuple,
-            row_shared: tuple, aligned_out: bool, g: int):
+            row_shared: tuple, aligned_out: bool, g: int,
+            lane_rep: tuple = (), w_half: int = 0, wp_rep: int = 0):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
     d_hbm/c_hbm: (B, Hx, cin_pad, wp_in) aligned-form data / confidence in
@@ -70,35 +71,48 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
     n_parts = len(part_cs)
     d_hbms = refs[:n_parts]
     c_hbms = refs[n_parts : 2 * n_parts]
-    w2_ref, bias_ref, wsum_ref, out_ref, cout_ref, xs, sem_d, sem_c = (
-        refs[2 * n_parts :]
-    )
+    pos = 2 * n_parts
+    w2_ref, bias_ref, wsum_ref = refs[pos : pos + 3]
+    pos += 3
+    if any(lane_rep):
+        srep_ref = refs[pos]
+        pos += 1
+    out_ref, cout_ref, xs, sem_d, sem_c = refs[pos:]
+    lane_rep = lane_rep or (False,) * n_parts
     coffs = [sum(part_cs[:i]) for i in range(n_parts)]
     idx = pl.program_id(0)
     rows_full = th + kh - 1
     wins = _tile_windows(n_tiles, th, kh, pad_top, h_in)
-    classes = sorted({(o, s) for (o, s, _zt, _zb) in wins if s})
+    # per-tile static window-start parity: full row a+j maps to source
+    # row (a+j)//2 = a//2 + (j+par)//2 for row-shared parts (odd pad_top
+    # makes starts odd on every tile but the clamped first)
+    pars = [max(t * th - pad_top, 0) % 2 for t in range(n_tiles)]
+    classes = sorted(
+        {(o, s, pars[k]) for k, (o, s, _zt, _zb) in enumerate(wins) if s}
+    )
 
     def dma_apply(step, slot, action):
         t = step % n_tiles
         bi = step // n_tiles
-        for off, size in classes:
-            tiles = [k for k, wn in enumerate(wins) if wn[:2] == (off, size)]
+        for off, size, par in classes:
+            tiles = [
+                k for k, wn in enumerate(wins)
+                if wn[:2] == (off, size) and pars[k] == par
+            ]
             cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
 
             @pl.when(cond)
-            def _go(off=off, size=size):
+            def _go(off=off, size=size, par=par):
                 a = jnp.maximum(t * th - pad_top, 0)
                 for hbms, half, sem in ((d_hbms, 0, sem_d), (c_hbms, 1, sem_c)):
                     for i in range(n_parts):
                         if row_shared[i]:
                             # half-row source (2x row nearest-repeat folds
-                            # into the kernel): fetch ceil(size/2) source
+                            # into the kernel): fetch the covering source
                             # rows; expansion duplicates them after the
-                            # wait. Window starts are even (th and pad_top
-                            # even — asserted by the core), so full row
-                            # a+j maps to source row a//2 + j//2.
-                            sz = (size + 1) // 2
+                            # wait. Block position of full row a+j is
+                            # (j+par)//2.
+                            sz = (size + par + 1) // 2
                             src = pl.ds(a // 2, sz)
                             dst = pl.ds(off, sz)
                         else:
@@ -133,23 +147,49 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
     dma_apply(idx, slot, "wait")
 
     # expand row-shared parts in place, back to front (dst row j reads
-    # source scratch row j//2 < j, still untouched in descending order) —
-    # VMEM-only traffic replacing a full-tensor XLA row-repeat in HBM
+    # source scratch row (j+par)//2 <= j, still untouched in descending
+    # order) — VMEM-only traffic replacing a full-tensor XLA row-repeat
     if any(row_shared):
-        for off, size in classes:
-            tiles = [k for k, wn in enumerate(wins) if wn[:2] == (off, size)]
+        for off, size, par in classes:
+            tiles = [
+                k for k, wn in enumerate(wins)
+                if wn[:2] == (off, size) and pars[k] == par
+            ]
             cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
 
             @pl.when(cond)
-            def _expand(off=off, size=size):
+            def _expand(off=off, size=size, par=par):
                 for j in range(size - 1, 0, -1):
-                    if j // 2 == j:
+                    if (j + par) // 2 == j:
                         continue
                     for i in range(n_parts):
                         if not row_shared[i]:
                             continue
                         sl = pl.ds(coffs[i], part_cs[i])
-                        xs[slot, off + j, :, sl] = xs[slot, off + j // 2, :, sl]
+                        xs[slot, off + j, :, sl] = (
+                            xs[slot, off + (j + par) // 2, :, sl]
+                        )
+
+    # expand lane-repeated parts: the DMA'd half-width lanes spread to
+    # full width with ONE constant matmul per part (S[k, 2k] = S[k, 2k+1]
+    # = 1 for k < w_half — an MXU nearest-repeat; zero rows blank the
+    # source's pad lanes). The XLA up2 repeats (~46 MB at the step-1
+    # decoder) never materialize in HBM.
+    for i in range(n_parts):
+        if not lane_rep[i]:
+            continue
+        sl = pl.ds(coffs[i], part_cs[i])
+        blk = xs[slot, :, :, sl, FRONT : FRONT + part_wps[i]]
+        rows_b = blk.shape[0] * blk.shape[1] * blk.shape[2]
+        y = lax.dot_general(
+            blk.reshape(rows_b, part_wps[i]),
+            srep_ref[: part_wps[i], :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xs.dtype)
+        xs[slot, :, :, sl, FRONT : FRONT + wp_rep] = y.reshape(
+            blk.shape[0], blk.shape[1], blk.shape[2], wp_rep
+        )
 
     # zero the scratch rows the clamped DMA did not fill (virtual halo rows)
     for zt in sorted({wn[2] for wn in wins if wn[2]}):
@@ -268,6 +308,7 @@ def _nconv_core(
     h_in: int, w_in: int, h_out: int, w_out: int, wp_out: int, eps: float,
     tile_h: int | None, aligned_out: bool,
     row_shared: tuple | None = None,
+    lane_rep: tuple | None = None,
 ):
     """Shared core. ``data_parts``/``conf_parts`` are parallel lists of
     (B, Hx_i, c_i, wp_i) aligned-form arrays forming a logical channel
@@ -280,6 +321,7 @@ def _nconv_core(
     part_cs = tuple(p.shape[2] for p in data_parts)
     part_wps = tuple(p.shape[-1] for p in data_parts)
     row_shared = tuple(row_shared or (False,) * len(data_parts))
+    lane_rep = tuple(lane_rep or (False,) * len(data_parts))
     b = data_parts[0].shape[0]
     assert cin == max(_round_up(sum(part_cs), 4), 4), (cin, part_cs)
     for i, (dp, cp) in enumerate(zip(data_parts, conf_parts)):
@@ -287,9 +329,11 @@ def _nconv_core(
         need_rows = (h_in + 1) // 2 if row_shared[i] else h_in
         assert dp.shape[1] >= need_rows and dp.shape[-1] % 128 == 0
         assert dp.dtype == data_parts[0].dtype
-    if any(row_shared):
-        assert pad_top % 2 == 0, pad_top  # even window starts
-    wp_in = max(part_wps)
+    w_half = w_in // 2
+    wp_rep = _round_up(w_in, 128) if any(lane_rep) else 0
+    if any(lane_rep):
+        assert w_in % 2 == 0, w_in
+    wp_in = max(max(part_wps), wp_rep)
     from .pallas_conv import auto_row_group
 
     g = auto_row_group(kh, 2 * cin, 2 * cout)
@@ -327,6 +371,7 @@ def _nconv_core(
         n_total=n_total, pad_top=pad_top, pad_left=pad_left, h_in=h_in,
         h_out=h_out, part_cs=part_cs, part_wps=part_wps,
         row_shared=row_shared, aligned_out=aligned_out, g=g,
+        lane_rep=lane_rep, w_half=w_half, wp_rep=wp_rep,
     )
     block_out = pl.BlockSpec(
         (1, th, cout, wp_out), lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
@@ -335,15 +380,22 @@ def _nconv_core(
     if bias is None or bias.ndim == 0:  # None or scalar sentinel
         bias = jnp.zeros((cout,), dtype)
     n_parts = len(data_parts)
+    extra_ops = []
+    if any(lane_rep):
+        # lane nearest-repeat constant: S[k, 2k] = S[k, 2k+1] = 1, k < w/2
+        wp_h_max = max(p for p, lr in zip(part_wps, lane_rep) if lr)
+        import numpy as _np
+
+        srep = _np.zeros((wp_h_max, wp_rep), _np.float32)
+        ks = _np.arange(w_half)
+        srep[ks, 2 * ks] = 1.0
+        srep[ks, 2 * ks + 1] = 1.0
+        extra_ops.append(jnp.asarray(srep, dtype))
     return pl.pallas_call(
         kfun,
         grid=(n_total,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_parts)  # HBM
-        + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(extra_ops)),
         out_specs=[block_out, block_out],
         out_shape=[
             jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), dtype),
@@ -355,7 +407,7 @@ def _nconv_core(
             pltpu.SemaphoreType.DMA((2, n_parts)),
         ],
     )(*data_parts, *conf_parts, w2, bias.reshape(-1, 1),
-      wsum.reshape(-1, 1))
+      wsum.reshape(-1, 1), *extra_ops)
 
 
 def nconv2d_pallas_aligned(
@@ -372,6 +424,7 @@ def nconv2d_pallas_aligned(
     tile_h: int | None = None,
     kernel_transform=None,
     row_shared: tuple | None = None,
+    lane_rep: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array, int, int]:
     """Aligned-form normalized conv: operands (B, Hx, cin, Wp) with data at
     rows [0, h) x lanes [0, w), zeros elsewhere (cin % 4 == 0). Returns
@@ -418,7 +471,7 @@ def nconv2d_pallas_aligned(
         data_parts, conf_parts, w_pos, bias,
         pad_top=p, pad_left=pl, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=_round_up(w_out, 128), eps=eps, tile_h=tile_h,
-        aligned_out=True, row_shared=row_shared,
+        aligned_out=True, row_shared=row_shared, lane_rep=lane_rep,
     )
     return out, carr, h_out, w_out
 

@@ -175,6 +175,44 @@ def test_aligned_nconv_parity(shape, k, p):
     assert float(jnp.max(jnp.abs(out[:, :, :, wo:]))) == 0.0
 
 
+@pytest.mark.parametrize("hw", [(16, 120), (12, 260)])
+def test_aligned_nconv_up2_part_matches_explicit_repeat(hw):
+    """A half-res part fed with row_shared + lane_rep (Up2) == the nconv
+    over the explicit 2x nearest-repeat — the step-1 decoder's
+    [skip, up2(x)] form with padding=1 (odd window starts)."""
+    h, w = hw
+    B, c = 1, 8
+    skip_d = jnp.asarray(rng.random((B, h, c, w)), jnp.float32)
+    skip_c = jnp.asarray(rng.random((B, h, c, w)) > 0.5, jnp.float32)
+    src_d = jnp.asarray(rng.random((B, h // 2, c, w // 2)), jnp.float32)
+    src_c = jnp.asarray(rng.random((B, h // 2, c, w // 2)) > 0.5, jnp.float32)
+    kk = jnp.asarray(rng.standard_normal((3, 3, 2 * c, c)) * 0.3, jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.float32)
+    up = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=3)
+    with pltpu.force_tpu_interpret_mode():
+        got_x, got_c, ho, wo = nconv2d_pallas_aligned(
+            [_pad_lanes(skip_d), _pad_lanes(src_d)],
+            [_pad_lanes(skip_c), _pad_lanes(src_c)],
+            kk, bb, w=w, h=h, padding=1,
+            row_shared=(False, True), lane_rep=(False, True),
+        )
+        ref_x, ref_c, hr, wr = nconv2d_pallas_aligned(
+            [_pad_lanes(skip_d), _pad_lanes(up(src_d))],
+            [_pad_lanes(skip_c), _pad_lanes(up(src_c))],
+            kk, bb, w=w, h=h, padding=1,
+        )
+    assert (ho, wo) == (hr, wr)
+    np.testing.assert_allclose(
+        np.asarray(got_x[:, :ho, :, :wo]),
+        np.asarray(ref_x[:, :ho, :, :wo]), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_c[:, :ho, :, :wo]),
+        np.asarray(ref_c[:, :ho, :, :wo]), atol=1e-5,
+    )
+    assert float(jnp.max(jnp.abs(got_x[:, :, :, wo:]))) == 0.0
+
+
 def test_aligned_nconv_multi_input_matches_concat():
     """Decoder-style (x ‖ skip) pairs as separate parts."""
     B, h, w = 1, 16, 120
