@@ -146,14 +146,28 @@ def main() -> None:
     acc = sum4(*_stage4(0), acc)  # warm the probe's compile
     float(np.asarray(acc))
     n_bw = 16
-    acc = jnp.float32(0)
-    t0 = time.perf_counter()
-    for i in range(n_bw):
-        acc = sum4(*_stage4(i), acc)
-    float(np.asarray(acc))
-    h2d_mb_s = engine.wire_bytes_per_frame * n_bw / (
-        time.perf_counter() - t0
-    ) / 1e6
+    # the tunnel's rate is highly variable (~30-650 MB/s); take the best
+    # of three probe windows, and never report a ceiling below what the
+    # measured stream itself sustained (that would be self-contradictory)
+    h2d_mb_s = 0.0
+    for _rep in range(3):
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(n_bw):
+            acc = sum4(*_stage4(i), acc)
+        float(np.asarray(acc))
+        h2d_mb_s = max(
+            h2d_mb_s,
+            engine.wire_bytes_per_frame * n_bw
+            / (time.perf_counter() - t0) / 1e6,
+        )
+    h2d_mb_s = max(
+        h2d_mb_s, stream_fps * engine.wire_bytes_per_frame / 1e6
+    )
+    if coo_fps:
+        h2d_mb_s = max(
+            h2d_mb_s, coo_fps * engine_coo.wire_bytes_per_frame / 1e6
+        )
 
     # batched multi-stream bf16 throughput (BASELINE config #5)
     tput_fps = None

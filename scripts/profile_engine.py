@@ -1,0 +1,31 @@
+"""Trace the mixed-precision engine forward on the real TPU; print top ops."""
+import numpy as np, jax, jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from nconv_tpu.models import GuidedDepthNet
+from nconv_tpu.runtime import StreamingEngine
+from nconv_tpu.utils import profile_fn
+
+h, w = 352, 1216
+rng = np.random.default_rng(0)
+rgb = np.asarray(rng.random((1, h, w, 3)), np.float32)
+d = np.asarray(
+    rng.random((1, h, w, 1)) * 80 * (rng.random((1, h, w, 1)) < 0.06),
+    np.float32,
+)
+variables = GuidedDepthNet().init(jax.random.key(0), rgb, d, rgb, d)
+engine = StreamingEngine(
+    variables, height=h, width=w,
+    model=GuidedDepthNet(
+        backend="pallas", dtype=jnp.bfloat16, step1_dtype=jnp.float32
+    ),
+)
+engine.warmup()
+r_s = engine._stage((rng.random((h, w, 3)) * 255).astype(np.float32), 3)
+d_s = engine._stage((rng.random((h, w)) * 80).astype(np.float32), 1)
+prof = profile_fn(
+    lambda: engine._fn(engine.variables, r_s, d_s, r_s, d_s), n_iters=4
+)
+print(prof.report(22), flush=True)
