@@ -1,4 +1,6 @@
 """Trace the mixed-precision engine forward on the real TPU; print top ops."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")

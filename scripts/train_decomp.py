@@ -1,4 +1,6 @@
 """Decompose the guided train step at 480x640 b=1, backend=pallas."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

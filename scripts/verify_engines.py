@@ -1,4 +1,6 @@
 """Compile-and-parity probe: f32 + mixed engines at KITTI and NYU geometry."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
