@@ -383,18 +383,30 @@ class GuidedDepthNet(nn.Module):
     # Inference-only: BatchNorms folded into conv weights (see models.fold).
     # Construct variables with fold_batchnorm_variables(trained_variables).
     fold_bn: bool = False
+    # Run the FROZEN step 1 on its fast aligned (pad-free) graph during
+    # TRAINING too. The aligned kernels are non-differentiable, so this
+    # requires the caller to hold step-1 params as constants under
+    # jax.grad (differentiate only the trainable subtree — the Trainer
+    # does this automatically); plain jax.grad over the full param tree
+    # would trace a JVP into step 1 and fail. 1.4 ms/step at 480x640.
+    step1_aligned: bool = False
 
     def setup(self):
         lay0 = "bhcw" if (self.backend == "pallas" and self.fold_bn) else "nhwc"
+        if self.step1_aligned:
+            assert self.backend == "pallas" and self.freeze_step1, (
+                "step1_aligned needs the pallas backend and a frozen step 1"
+            )
         self.step1 = NConvUNet(
             pos_fn=self.step1_pos_fn,
             dtype=self.step1_dtype if self.step1_dtype is not None else self.dtype,
             backend=self.backend,
-            # the aligned (pad-free) graph is inference-only: even the
-            # frozen step 1 can't use it under jax.grad (param tangents
-            # flow INTO the submodule before stop_gradient cuts them at
-            # its output, so pallas_call still needs a JVP rule there)
-            aligned=lay0 == "bhcw",
+            # the aligned (pad-free) graph bypasses the custom-VJP entry
+            # points: always on for folded inference; opt-in for training
+            # via step1_aligned (see above — even a frozen step 1 under
+            # plain jax.grad would need a JVP rule, because param tangents
+            # flow INTO the submodule before stop_gradient cuts them)
+            aligned=lay0 == "bhcw" or self.step1_aligned,
         )
         # Effective encoder config — the reference defines the stack twice
         # and the second block wins: 3->32 s1, 32->64 s2, 64->64 s2, 64->64 s2

@@ -97,6 +97,15 @@ class GuidedTask:
         step1_variables: dict | None = None,
     ):
         self.model = model or GuidedDepthNet()
+        if (
+            self.model.backend == "pallas"
+            and self.model.freeze_step1
+            and not self.model.fold_bn
+            and not self.model.step1_aligned
+        ):
+            # the Trainer differentiates only the trainable subtree, so the
+            # frozen step 1 can run its fast aligned graph during training
+            self.model = self.model.clone(step1_aligned=True)
         self.step1_variables = step1_variables
 
     def init_variables(self, rng, batch):
@@ -175,15 +184,27 @@ class Trainer:
         task, cfg, tx = self.task, self.cfg, self.tx
 
         def train_step(params, batch_stats, opt_state, batch):
-            def loss_fn(p):
-                variables = {"params": p}
+            # differentiate ONLY the trainable subtree: frozen submodules
+            # (the guided net's step-1) enter the loss as constants, so no
+            # JVP is ever traced into them — their forward can run the
+            # non-differentiable fast aligned kernels, and the optimizer
+            # sees exact zero grads for them (same multi_transform masking
+            # semantics as before)
+            label_fn = task.frozen_label_fn()
+            label = label_fn(params) if label_fn is not None else {}
+            frozen = {k: params[k] for k, v in label.items() if v == "frozen"}
+            train_p = {k: v for k, v in params.items() if k not in frozen}
+
+            def loss_fn(tp):
+                variables = {"params": {**tp, **frozen}}
                 if task.has_batch_stats:
                     variables["batch_stats"] = batch_stats
                 return task.loss(variables, batch, train=True, cfg=cfg)
 
-            (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params
-            )
+            (loss, mutated), grads_t = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(train_p)
+            grads = {**grads_t, **jax.tree.map(jnp.zeros_like, frozen)}
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             new_stats = mutated.get("batch_stats", batch_stats)

@@ -86,16 +86,21 @@ def loss_fn(v, rgb, d, gt):
 jl = jax.jit(loss_fn)
 timeit("forward + loss", jl, variables, rgb, d, gt)
 
-# 4. value_and_grad (no optimizer)
-def loss_p(p, rgb, d, gt):
+# 4. value_and_grad (no optimizer) — trainable subtree only, like the
+# Trainer (the frozen step 1 runs the non-differentiable aligned graph)
+frozen = {"step1": params["step1"]}
+train_params = {k: v for k, v in params.items() if k != "step1"}
+
+
+def loss_p(tp, rgb, d, gt):
     (s0, _), mut = model.apply(
-        {"params": p, "batch_stats": stats}, rgb, d, rgb, d, True,
-        mutable=["batch_stats"],
+        {"params": {**tp, **frozen}, "batch_stats": stats}, rgb, d, rgb, d,
+        True, mutable=["batch_stats"],
     )
     return multi_resolution_loss(s0, gt)
 
 vg = jax.jit(jax.value_and_grad(loss_p))
-timeit("value_and_grad", vg, params, rgb, d, gt)
+timeit("value_and_grad", vg, train_params, rgb, d, gt)
 
 # 5. step1 alone b=2 fwd (frozen in guided training)
 s1 = NConvUNet(backend="pallas")
@@ -110,8 +115,9 @@ s0 = [jnp.asarray(x) for x in s0]
 lvg = jax.jit(jax.value_and_grad(lambda s, gt: multi_resolution_loss(s, gt)))
 timeit("loss fwd+bwd (given scales)", lvg, s0, gt)
 
-# 7. optimizer update alone
-_, g = vg(params, rgb, d, gt)
+# 7. optimizer update alone (full-tree grads: zeros for the frozen step1)
+_, g_t = vg(train_params, rgb, d, gt)
+g = {**g_t, "step1": jax.tree.map(jnp.zeros_like, frozen["step1"])}
 upd = jax.jit(lambda g, o, p: trainer.tx.update(g, o, p))
 try:
     timeit("optimizer update", upd, g, opt_state, params)

@@ -186,6 +186,51 @@ def test_guided_training_updates_and_freezes_step1():
     assert any(changed)
 
 
+def test_guided_pallas_training_runs_step1_aligned():
+    """With the pallas backend GuidedTask clones the model with
+    step1_aligned=True (the frozen step 1 runs its fast aligned graph);
+    the trainer differentiates only the trainable subtree, so the
+    non-differentiable aligned kernels never see a JVP. Step-1 params
+    stay bitwise frozen and the rest trains (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nconv_tpu.models import GuidedDepthNet
+
+    cfg = TrainConfig(
+        epochs=1,
+        batch_size=1,
+        optimizer=OptimizerConfig("adamw", 1e-3, 1e-7),
+        log_every=0,
+    )
+    task = GuidedTask(GuidedDepthNet(backend="pallas"))
+    assert task.model.step1_aligned
+    trainer = Trainer(task, cfg, log_fn=quiet)
+    first = next(iter(loader(1, b=1)()))
+    with pltpu.force_tpu_interpret_mode():
+        state = trainer.init_state(jax.random.key(0), first)
+        step1_before = jax.tree.map(np.asarray, state["params"]["step1"])
+        other_before = jax.tree.map(np.asarray, state["params"]["fuse3"])
+        trainer._build_steps()
+        batch = trainer._device_batch(first)
+        new_params, _, _, loss = trainer._train_step(
+            state["params"], state["batch_stats"], state["opt_state"], batch
+        )
+        assert np.isfinite(float(loss))
+        for a, b in zip(
+            jax.tree.leaves(step1_before),
+            jax.tree.leaves(new_params["step1"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        changed = [
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(other_before),
+                jax.tree.leaves(new_params["fuse3"]),
+            )
+        ]
+        assert any(changed)
+
+
 def test_guided_task_uses_pretrained_step1():
     task0 = UnguidedTask()
     b = synth_batch(1)
