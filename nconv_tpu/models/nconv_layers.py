@@ -134,6 +134,13 @@ class NConv2d(nn.Module):
                 [conf] if isinstance(conf, (AT, Up2)) else list(conf)
             )
             up2 = tuple(isinstance(p, Up2) for p in d_parts)
+            assert not all(up2), (
+                "Up2 parts need at least one full-resolution part to fix "
+                "the output grid"
+            )
+            assert up2 == tuple(isinstance(p, Up2) for p in c_parts), (
+                "conf parts must mirror the data parts' Up2 markers"
+            )
             ref = next(p for p, u in zip(d_parts, up2) if not u)
             if any(up2):
                 # Up2 parts carry the half-res source; the kernel

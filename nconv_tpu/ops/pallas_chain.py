@@ -311,6 +311,7 @@ def conv_chain_pallas_aligned(
             )
         return tot
 
+    tile_h_arg = tile_h  # caller's pin (None = auto), preserved on split
     if tile_h is None:
         # VMEM budget: two xs slots + mids + out block + tap matrices. The
         # budget is deliberately conservative — the observed scoped-VMEM
@@ -331,7 +332,6 @@ def conv_chain_pallas_aligned(
         if h_out % cand == 0 and cand % 2 == 0:
             th = cand
             break
-    n_tiles = -(-h_out // th)
 
     # Scoped-VMEM fit check. Mosaic's scoped accounting is dominated not
     # by the declared scratch but by per-stage TEMPORARIES — the window
@@ -362,11 +362,25 @@ def conv_chain_pallas_aligned(
         th -= 2  # shrink the tile before giving up on the chain
     n_tiles = -(-h_out // th)
     if n_stages > 1 and modeled_bytes(th) * _OBS_FACTOR > cap:
+        # split the LAST stage off and recurse. The head/tail interface
+        # must be a GRANULE channel count — Mosaic rejects sub-tile
+        # channel DMA slabs — so pad the head's final cout (zero kernel
+        # columns + bias) and let the tail's cin <= cin_total contract
+        # zero-extend its kernel over the trailing pad channels.
+        head_stages = [(k, b) for k, b in stages[: n_stages - 1]]
+        hk, hb = head_stages[-1]
+        c_mid = hk.shape[-1]
+        c_pad = _round_up(c_mid, 8) - c_mid
+        if c_pad:
+            head_stages[-1] = (
+                jnp.pad(jnp.asarray(hk), ((0, 0),) * 3 + ((0, c_pad),)),
+                jnp.pad(jnp.asarray(hb), (0, c_pad)),
+            )
         head, hh, wh = conv_chain_pallas_aligned(
-            parts, stages[: n_stages - 1], w=w, h=h_in
+            parts, head_stages, w=w, h=h_in, tile_h=tile_h_arg
         )
         return conv_chain_pallas_aligned(
-            head, stages[n_stages - 1 :], w=wh, h=hh
+            head, stages[n_stages - 1 :], w=wh, h=hh, tile_h=tile_h_arg
         )
 
     ops = []

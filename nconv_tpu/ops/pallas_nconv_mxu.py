@@ -53,7 +53,7 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
             n_total: int, pad_top: int, pad_left: int, h_in: int,
             h_out: int, part_cs: tuple, part_wps: tuple,
             row_shared: tuple, aligned_out: bool, g: int,
-            lane_rep: tuple = (), w_half: int = 0, wp_rep: int = 0):
+            lane_rep: tuple = (), wp_rep: int = 0):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
     d_hbm/c_hbm: (B, Hx, cin_pad, wp_in) aligned-form data / confidence in
@@ -350,8 +350,9 @@ def _nconv_core(
         )
     th = min(_round_up(tile_h, g), _round_up(h_out, g))
     if any(row_shared) and th % 2:
-        # even tile starts (full row a+j maps to source (a+j)//2) while
-        # keeping g | th for the row-group loop
+        # even th keeps every tile's window-start parity identical (the
+        # DMA classes handle mixed parities, but each extra parity doubles
+        # the static DMA variants) while keeping g | th for the group loop
         th = _round_up(th, 2 * g)
     if aligned_out:
         # exact tiling when h_out has a divisor near the VMEM-fit tile;
@@ -371,7 +372,7 @@ def _nconv_core(
         n_total=n_total, pad_top=pad_top, pad_left=pad_left, h_in=h_in,
         h_out=h_out, part_cs=part_cs, part_wps=part_wps,
         row_shared=row_shared, aligned_out=aligned_out, g=g,
-        lane_rep=lane_rep, w_half=w_half, wp_rep=wp_rep,
+        lane_rep=lane_rep, wp_rep=wp_rep,
     )
     block_out = pl.BlockSpec(
         (1, th, cout, wp_out), lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),

@@ -190,10 +190,13 @@ def test_aligned_nconv_up2_part_matches_explicit_repeat(hw):
     bb = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.float32)
     up = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=3)
     with pltpu.force_tpu_interpret_mode():
+        # tile_h=4 forces a multi-tile grid so the odd-window-start
+        # (par=1) DMA/expansion classes actually run (pad_top=1 makes
+        # every tile but the clamped first start on an odd row)
         got_x, got_c, ho, wo = nconv2d_pallas_aligned(
             [_pad_lanes(skip_d), _pad_lanes(src_d)],
             [_pad_lanes(skip_c), _pad_lanes(src_c)],
-            kk, bb, w=w, h=h, padding=1,
+            kk, bb, w=w, h=h, padding=1, tile_h=4,
             row_shared=(False, True), lane_rep=(False, True),
         )
         ref_x, ref_c, hr, wr = nconv2d_pallas_aligned(
@@ -609,7 +612,9 @@ def test_conv_chain_vmem_split_fallback(monkeypatch):
     x = jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
     kbs = []
     cin = c
-    for f in (16, 16, 8):
+    # the 12-channel middle makes the head/tail interface sub-granule:
+    # the split path must granule-pad it (Mosaic rejects sub-tile slabs)
+    for f in (16, 12, 8):
         kbs.append((
             jnp.asarray(rng.standard_normal((3, 3, cin, f)) * 0.2,
                         jnp.float32),
@@ -658,9 +663,11 @@ def test_rowpair_lane_stride2_matches_strided_residual_block(shape, f):
         [conv_kernel_s2_rowpair(km), shortcut_kernel_s2_rowpair(ks)], -1
     )
     with pltpu.force_tpu_interpret_mode():
+        # tile_h=4 forces a multi-tile grid over the pair rows
         got, ho, wo = conv2d_pallas_bhcw_aligned(
             v2, kcat, b, w=w, h=h // 2, pad_top=1, pad_bottom=0,
             pad_left=1, pad_right=0, residual_channels=f, lane_stride2=True,
+            tile_h=4,
         )
     xn = jnp.transpose(x, (0, 1, 3, 2))
     dn = ("NHWC", "HWIO", "NHWC")
@@ -703,9 +710,11 @@ def test_conv_d2s_epilogue_matches_xla_interleave(shape, f):
         )
         ref = depth_to_space_bhcw(out_ph[:, :ho, :, : _round_up(wo, 128)],
                                   f)
+        # tile_h forces a multi-tile grid (doubled store rows, overhang
+        # zeroing at 2x scale)
         got, ho2, wo2 = conv2d_pallas_bhcw_aligned(
             _pad_lanes(x), kph, bias4, w=w, padding=1, relu=True,
-            d2s_channels=f,
+            d2s_channels=f, tile_h=8,
         )
     assert (ho2, wo2) == (ho, wo)
     np.testing.assert_allclose(
