@@ -41,7 +41,7 @@ class NConv2d(nn.Module):
     layout: str = "nhwc"
 
     @nn.compact
-    def __call__(self, data, conf):
+    def __call__(self, data, conf, *, pool_out: bool = False):
         from .aligned import AT, WS, Shared, Up2
 
         # data/conf may be ATs, WSs / Shared markers (W-phase-split chain),
@@ -109,7 +109,7 @@ class NConv2d(nn.Module):
             arrs = [a.astype(dtype) for a in arrs]
             nd = len(d_parts)
             shared = tuple(not isinstance(p, WS) for p in d_parts)
-            out, carr, ho, wo = nconv2d_pallas_aligned(
+            res = nconv2d_pallas_aligned(
                 arrs[:nd], arrs[nd:],
                 kernel.astype(dtype),
                 jnp.tile(bias.astype(dtype), 2),  # [ev F | od F] outputs
@@ -119,7 +119,22 @@ class NConv2d(nn.Module):
                     wp, spec, self.padding
                 ),
                 row_shared=shared,
+                pool_out=pool_out,
             )
+            if pool_out:
+                # the kernel's fused 2x2 pool: [ev|od] channel blocks make
+                # the lane-pair max a channel max — the pooled result IS
+                # the next level's contiguous AT tensor
+                out, carr, pout, pcnf, ho, wo = res
+                pooled = (
+                    AT(pout, ho // 2, wo, self.features),
+                    AT(pcnf, ho // 2, wo, self.features),
+                )
+                return (
+                    WS(out, ho, 2 * wo, self.features),
+                    WS(carr, ho, 2 * wo, self.features),
+                ), pooled
+            out, carr, ho, wo = res
             return (
                 WS(out, ho, 2 * wo, self.features),
                 WS(carr, ho, 2 * wo, self.features),

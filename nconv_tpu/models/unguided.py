@@ -162,18 +162,12 @@ class NConvUNet(nn.Module):
         c0 = WS((arr > CONF_THRESHOLD).astype(sparse.dtype), h, w, 1)
 
         x1, c1 = mk(c, 5, 2, name="nconv1")(x0, c0)
-        x1, c1 = mk(c, 5, 2, name="nconv2")(x1, c1)
-
-        def pool_ws(t: WS) -> AT:
-            # 2x2 max on the split form: row pair via a non-minor reshape,
-            # lane pair = elementwise max of the phase channel blocks; the
-            # contiguous half-width result IS the next level's tensor
-            b_, alloc, c2, wp = t.arr.shape
-            assert alloc % 2 == 0 and c2 == 2 * t.c
-            vv = t.arr.reshape(b_, alloc // 2, 2, c2, wp)
-            m = jnp.maximum(vv[:, :, 0], vv[:, :, 1])
-            m = jnp.maximum(m[:, :, : t.c], m[:, :, t.c :])
-            return realign(AT(m, t.h // 2, t.w // 2))
+        # nconv2 ALSO emits the 2x2-pooled pair from its kernel epilogue
+        # (row-pair + channel-block max in VMEM): the level-0 pool's
+        # ~150 MB of XLA reshape/slice/max traffic never happens
+        (x1, c1), (x1d, c1d) = mk(c, 5, 2, name="nconv2")(
+            x1, c1, pool_out=True
+        )
 
         def pool(x, cc):
             xp, cp = max_pool_pair(x.arr, cc.arr, layout="bhcw")
@@ -182,7 +176,6 @@ class NConvUNet(nn.Module):
                 realign(AT(cp, x.h // 2, x.w // 2)),
             )
 
-        x1d, c1d = pool_ws(x1), pool_ws(c1)
         x2, c2 = mk(c, 5, 2, name="nconv_down1")(x1d, c1d)
         x2d, c2d = pool(x2, c2)
         x3, c3 = mk(c, 5, 2, name="nconv_down2")(x2d, c2d)

@@ -53,7 +53,8 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
             n_total: int, pad_top: int, pad_left: int, h_in: int,
             h_out: int, part_cs: tuple, part_wps: tuple,
             row_shared: tuple, aligned_out: bool, g: int,
-            lane_rep: tuple = (), wp_rep: int = 0):
+            lane_rep: tuple = (), wp_rep: int = 0,
+            pool_out: bool = False):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
     d_hbm/c_hbm: (B, Hx, cin_pad, wp_in) aligned-form data / confidence in
@@ -77,7 +78,10 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
     if any(lane_rep):
         srep_ref = refs[pos]
         pos += 1
-    out_ref, cout_ref, xs, sem_d, sem_c = refs[pos:]
+    if pool_out:
+        out_ref, cout_ref, pout_ref, pcnf_ref, xs, sem_d, sem_c = refs[pos:]
+    else:
+        out_ref, cout_ref, xs, sem_d, sem_c = refs[pos:]
     lane_rep = lane_rep or (False,) * n_parts
     coffs = [sum(part_cs[:i]) for i in range(n_parts)]
     idx = pl.program_id(0)
@@ -253,12 +257,22 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
             cnfs.append(cnf)
         out_g = jnp.concatenate(outs, 0) if g > 1 else outs[0]
         cnf_g = jnp.concatenate(cnfs, 0) if g > 1 else cnfs[0]
-        out_ref[0, pl.ds(h0, g)] = out_g.reshape(g, cout, wp_out).astype(
-            out_ref.dtype
-        )
-        cout_ref[0, pl.ds(h0, g)] = cnf_g.reshape(g, cout, wp_out).astype(
-            cout_ref.dtype
-        )
+        og = out_g.reshape(g, cout, wp_out)
+        cg = cnf_g.reshape(g, cout, wp_out)
+        out_ref[0, pl.ds(h0, g)] = og.astype(out_ref.dtype)
+        cout_ref[0, pl.ds(h0, g)] = cg.astype(cout_ref.dtype)
+        if pool_out:
+            # fused 2x2 max pool of the WS output (the step-1 downsample):
+            # in [ev|od] channel blocks the lane pair IS a channel pair, so
+            # the pool is a row-pair max + a channel-block max — pure VMEM
+            # elementwise work replacing ~150 MB of XLA reshape/slice/max
+            # traffic at the full-res level. g is even (asserted).
+            pc = cout // 2
+            for arr, dst in ((og, pout_ref), (cg, pcnf_ref)):
+                v = arr.reshape(g // 2, 2, cout, wp_out)
+                m = jnp.maximum(v[:, 0], v[:, 1])
+                m = jnp.maximum(m[:, :pc], m[:, pc:])
+                dst[0, pl.ds(h0 // 2, g // 2)] = m.astype(dst.dtype)
         return 0
 
     lax.fori_loop(0, th // g, group, 0)
@@ -270,6 +284,13 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
             cut = th - min(overhang, th)
             out_ref[0, cut:] = jnp.zeros_like(out_ref[0, cut:])
             cout_ref[0, cut:] = jnp.zeros_like(cout_ref[0, cut:])
+            if pool_out:
+                pout_ref[0, cut // 2 :] = jnp.zeros_like(
+                    pout_ref[0, cut // 2 :]
+                )
+                pcnf_ref[0, cut // 2 :] = jnp.zeros_like(
+                    pcnf_ref[0, cut // 2 :]
+                )
 
 
 def build_tap_matrices(
@@ -309,6 +330,7 @@ def _nconv_core(
     tile_h: int | None, aligned_out: bool,
     row_shared: tuple | None = None,
     lane_rep: tuple | None = None,
+    pool_out: bool = False,
 ):
     """Shared core. ``data_parts``/``conf_parts`` are parallel lists of
     (B, Hx_i, c_i, wp_i) aligned-form arrays forming a logical channel
@@ -372,12 +394,19 @@ def _nconv_core(
         n_total=n_total, pad_top=pad_top, pad_left=pad_left, h_in=h_in,
         h_out=h_out, part_cs=part_cs, part_wps=part_wps,
         row_shared=row_shared, aligned_out=aligned_out, g=g,
-        lane_rep=lane_rep, wp_rep=wp_rep,
+        lane_rep=lane_rep, wp_rep=wp_rep, pool_out=pool_out,
     )
     block_out = pl.BlockSpec(
         (1, th, cout, wp_out), lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    if pool_out:
+        assert h_out % 2 == 0 and th % 2 == 0 and g % 2 == 0 and cout % 2 == 0
+        block_pool = pl.BlockSpec(
+            (1, th // 2, cout // 2, wp_out),
+            lambda idx: (idx // n_tiles, idx % n_tiles, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     if bias is None or bias.ndim == 0:  # None or scalar sentinel
         bias = jnp.zeros((cout,), dtype)
     n_parts = len(data_parts)
@@ -392,16 +421,25 @@ def _nconv_core(
         srep[ks, 2 * ks] = 1.0
         srep[ks, 2 * ks + 1] = 1.0
         extra_ops.append(jnp.asarray(srep, dtype))
+    out_specs = [block_out, block_out]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), dtype),
+        jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), dtype),
+    ]
+    if pool_out:
+        out_specs += [block_pool, block_pool]
+        out_shape += [
+            jax.ShapeDtypeStruct(
+                (b, n_tiles * th // 2, cout // 2, wp_out), dtype
+            )
+        ] * 2
     return pl.pallas_call(
         kfun,
         grid=(n_total,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_parts)  # HBM
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(extra_ops)),
-        out_specs=[block_out, block_out],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), dtype),
-            jax.ShapeDtypeStruct((b, n_tiles * th, cout, wp_out), dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, th + kh - 1, 2, cin, wp_s), dtype),
             pltpu.SemaphoreType.DMA((2, n_parts)),
@@ -426,7 +464,8 @@ def nconv2d_pallas_aligned(
     kernel_transform=None,
     row_shared: tuple | None = None,
     lane_rep: tuple | None = None,
-) -> tuple[jax.Array, jax.Array, int, int]:
+    pool_out: bool = False,
+) -> tuple:
     """Aligned-form normalized conv: operands (B, Hx, cin, Wp) with data at
     rows [0, h) x lanes [0, w), zeros elsewhere (cin % 4 == 0). Returns
     ``(out, conf_out, h_out, w_out)`` in aligned form — no XLA pads.
@@ -468,12 +507,20 @@ def nconv2d_pallas_aligned(
         # zero taps for the channel-granule tail (after pos_fn —
         # softplus(0) != 0, the pad must be exact)
         w_pos = jnp.pad(w_pos, ((0, 0), (0, 0), (0, cin_alloc - cin), (0, 0)))
-    out, carr = _nconv_core(
+    res = _nconv_core(
         data_parts, conf_parts, w_pos, bias,
         pad_top=p, pad_left=pl, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=_round_up(w_out, 128), eps=eps, tile_h=tile_h,
         aligned_out=True, row_shared=row_shared, lane_rep=lane_rep,
+        pool_out=pool_out,
     )
+    if pool_out:
+        # ``pool_out``: the kernel ALSO emits the 2x2 max pool of its WS
+        # output (a row-pair + channel-block max in VMEM — the step-1
+        # downsample without any XLA pool traffic)
+        out, carr, pout, pcnf = res
+        return out, carr, pout, pcnf, h_out, w_out
+    out, carr = res
     return out, carr, h_out, w_out
 
 

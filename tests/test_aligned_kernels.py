@@ -175,6 +175,45 @@ def test_aligned_nconv_parity(shape, k, p):
     assert float(jnp.max(jnp.abs(out[:, :, :, wo:]))) == 0.0
 
 
+def test_aligned_nconv_pool_out_matches_xla_pool():
+    """pool_out: the WS nconv kernel's fused 2x2 pool == the separate XLA
+    pool of its (merged) output — the step-1 level-0 downsample."""
+    from nconv_tpu.ops.convops import conv_kernel_wsplit_parts
+
+    B, c, h, w = 1, 8, 16, 256  # full-res W; WS operands at w//2
+    d = jnp.asarray(rng.random((B, h, c, w)), jnp.float32)
+    cf = jnp.asarray(rng.random((B, h, c, w)) > 0.5, jnp.float32)
+    kk = jnp.asarray(rng.standard_normal((5, 5, c, c)) * 0.3, jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((c,)) * 0.01, jnp.float32)
+
+    def ws(t):  # [even-lane c | odd-lane c] at half width
+        v = t.reshape(B, h, c, w // 2, 2)
+        return _pad_lanes(jnp.concatenate([v[..., 0], v[..., 1]], axis=2))
+
+    with pltpu.force_tpu_interpret_mode():
+        out, carr, pout, pcnf, ho, wo = nconv2d_pallas_aligned(
+            ws(d), ws(cf), kk, jnp.tile(bb, 2), w=w // 2, h=h, padding=2,
+            kernel_transform=lambda wp: conv_kernel_wsplit_parts(
+                wp, [("split", c)], 2
+            ),
+            pool_out=True, tile_h=8,
+        )
+    # reference: merge the WS output, 2x2 max pool
+    def merge(o):
+        ev, od = o[:, :ho, :c, :wo], o[:, :ho, c:, :wo]
+        return jnp.stack([ev, od], -1).reshape(B, ho, c, 2 * wo)
+
+    for got_p, full in ((pout, merge(out)), (pcnf, merge(carr))):
+        v = full[:, : (ho // 2) * 2].reshape(B, ho // 2, 2, c, wo, 2)
+        ref = jnp.max(jnp.max(v, axis=2), axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(got_p[:, : ho // 2, :, :wo]), np.asarray(ref),
+            atol=1e-6,
+        )
+    if pout.shape[1] > ho // 2:  # pooled overhang rows must be zero
+        assert float(jnp.max(jnp.abs(pout[:, ho // 2 :]))) == 0.0
+
+
 @pytest.mark.parametrize("hw", [(16, 120), (12, 260)])
 def test_aligned_nconv_up2_part_matches_explicit_repeat(hw):
     """A half-res part fed with row_shared + lane_rep (Up2) == the nconv
