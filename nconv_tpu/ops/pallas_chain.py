@@ -367,7 +367,7 @@ def conv_chain_pallas_aligned(
         # channel DMA slabs — so pad the head's final cout (zero kernel
         # columns + bias) and let the tail's cin <= cin_total contract
         # zero-extend its kernel over the trailing pad channels.
-        head_stages = [(k, b) for k, b in stages[: n_stages - 1]]
+        head_stages = list(stages[: n_stages - 1])
         hk, hb = head_stages[-1]
         c_mid = hk.shape[-1]
         c_pad = _round_up(c_mid, 8) - c_mid

@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -414,10 +415,8 @@ def _nconv_core(
     if any(lane_rep):
         # lane nearest-repeat constant: S[k, 2k] = S[k, 2k+1] = 1, k < w/2
         wp_h_max = max(p for p, lr in zip(part_wps, lane_rep) if lr)
-        import numpy as _np
-
-        srep = _np.zeros((wp_h_max, wp_rep), _np.float32)
-        ks = _np.arange(w_half)
+        srep = np.zeros((wp_h_max, wp_rep), np.float32)
+        ks = np.arange(w_half)
         srep[ks, 2 * ks] = 1.0
         srep[ks, 2 * ks + 1] = 1.0
         extra_ops.append(jnp.asarray(srep, dtype))
