@@ -98,27 +98,16 @@ def _match_rows(ats: list[AT]) -> list[AT]:
             for a in ats]
 
 
-def concat_c(ats: list[AT], zero_tail: int = 0) -> AT:
-    """Channel concat (+ optional zero-channel tail so the physical count
-    hits a sublane granule). All but the last operand must have exact
-    channels; the logical count is the sum of the operands' logical ones —
-    the zero tail stays arithmetically invisible (kernel zero-extension)."""
-    ats = _match_rows(ats)
-    a0 = ats[0]
-    for a in ats[1:]:
-        assert (a.h, a.w, a.wp, a.arr.shape[1]) == (
-            a0.h, a0.w, a0.wp, a0.arr.shape[1]
-        ), [(x.arr.shape, x.h, x.w) for x in ats]
-    for a in ats[:-1]:
-        assert a.c is None, "padded-channel operand must come last"
-    parts = [a.arr for a in ats]
-    if zero_tail:
-        parts.append(
-            jnp.zeros(a0.arr.shape[:2] + (zero_tail, a0.wp), a0.arr.dtype)
-        )
-    logical = sum(a.logical_c for a in ats)
-    arr = jnp.concatenate(parts, axis=2)
-    return AT(arr, a0.h, a0.w, logical if logical != arr.shape[2] else None)
+def granule8(at: AT) -> AT:
+    """Zero-pad an AT's physical channels to the sublane granule (Mosaic
+    rejects sub-tile channel DMA slabs; the pad channels carry zero taps)."""
+    c = at.arr.shape[2]
+    if c % 8 == 0:
+        return at
+    return AT(
+        jnp.pad(at.arr, ((0, 0), (0, 0), (0, -c % 8), (0, 0))),
+        at.h, at.w, at.logical_c,
+    )
 
 
 def add(a: AT, b: AT) -> AT:

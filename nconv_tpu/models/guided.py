@@ -68,7 +68,7 @@ class UpCat(nn.Module):
     @nn.compact
     def __call__(self, rgb_skip, fusion, depth, train: bool = False):
         if self.layout == "bhcw":
-            from .aligned import AT, WS, concat_c
+            from .aligned import AT, WS, granule8
 
             if isinstance(rgb_skip, WS):
                 # phase-split full-res stage: the upsample's rx phase planes
@@ -76,34 +76,28 @@ class UpCat(nn.Module):
                 # conv runs on [fout ‖ rgb_skip] as split-channel parts.
                 # (Deferring this conv into the consumer's chain kernel was
                 # measured SLOWER full-graph — see docs/ARCHITECTURE.md.)
+                # [depth ‖ fusion] feeds the upsample kernel as parts: the
+                # 1-ch depth granule-pads and the kernel binds to the
+                # physical layout (expand_kernel_channels) — no HBM concat
                 assert isinstance(fusion, AT) and isinstance(depth, AT)
-                cat = concat_c(
-                    [depth, fusion],
-                    zero_tail=-(1 + fusion.logical_c) % 8,
-                )
                 fout = Basic2dTrans(
                     self.features, dtype=self.dtype, backend=self.backend,
                     fold_bn=self.fold_bn, layout=self.layout, split_out=True,
                     name="upf",
-                )(cat, train)
+                )([granule8(depth), fusion], train)
                 conv = Basic2d(
                     self.features, dtype=self.dtype, backend=self.backend,
                     fold_bn=self.fold_bn, layout=self.layout, name="conv"
                 )
                 return conv([fout, rgb_skip], train)
             if isinstance(fusion, AT):
-                # aligned inference graph: [depth ‖ fusion] is one small
-                # concat (the 1-channel depth cannot be a separate DMA slab —
-                # sub-granule offsets); the big [fout ‖ rgb_skip] concat
-                # feeds the multi-input kernel directly
-                cat = concat_c(
-                    [depth, fusion],
-                    zero_tail=-(1 + fusion.logical_c) % 8,
-                )
+                # aligned inference graph: BOTH concats feed multi-input
+                # kernels directly — [depth ‖ fusion] via granule8 + the
+                # physical kernel binding, [fout ‖ rgb_skip] natively
                 fout = Basic2dTrans(
                     self.features, dtype=self.dtype, backend=self.backend,
                     fold_bn=self.fold_bn, layout=self.layout, name="upf"
-                )(cat, train)
+                )([granule8(depth), fusion], train)
                 conv = Basic2d(
                     self.features, dtype=self.dtype, backend=self.backend,
                     fold_bn=self.fold_bn, layout=self.layout, name="conv"

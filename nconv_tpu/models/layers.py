@@ -367,6 +367,14 @@ class Basic2dTrans(nn.Module):
           layout="bhcw")
         dtype = self.dtype or parts[0].arr.dtype
         kph = convtranspose_kernel_phases(kernel.astype(dtype))
+        spec = [(p.logical_c, p.arr.shape[2]) for p in parts]
+        if any(l != c for l, c in spec):
+            # granule-padded parts anywhere in the list: bind the kernel
+            # to the PHYSICAL channel layout (zero taps on pad channels)
+            # instead of materializing an HBM concat (ops/convops.py)
+            from ..ops.convops import expand_kernel_channels
+
+            kph = expand_kernel_channels(kph, spec)
         bias4 = jnp.tile(bias.astype(dtype), 4)
         if self.split_out:
             # (ry, rx, c) phase channels: the ry row merge is a FREE reshape

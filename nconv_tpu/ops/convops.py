@@ -403,6 +403,30 @@ def conv_kernel_wsplit(kernel: jax.Array, in_channels: list[int]) -> jax.Array:
     return k2
 
 
+def expand_kernel_channels(kernel: jax.Array, spec) -> jax.Array:
+    """Re-express a kernel over GRANULE-PADDED multi-part operands: insert
+    zero input-channel taps so kernel channel i binds to the i-th channel
+    of the parts' PHYSICAL concat. ``spec`` is [(logical, phys), ...] per
+    part; the parts' pad channels must be zero in HBM (they get zero taps,
+    so any value would be ignored arithmetically — but the aligned-form
+    invariant keeps them zero anyway). This lets a sub-granule part (e.g.
+    the 1-channel depth in UpCat's [depth ‖ fusion]) sit ANYWHERE in the
+    part list instead of forcing an HBM concat: the multi-input kernels
+    bind positionally against the physical layout."""
+    blocks = []
+    off = 0
+    for logical, phys in spec:
+        blk = kernel[:, :, off : off + logical]
+        if phys > logical:
+            blk = jnp.pad(
+                blk, ((0, 0), (0, 0), (0, phys - logical), (0, 0))
+            )
+        blocks.append(blk)
+        off += logical
+    assert off == kernel.shape[2], (off, kernel.shape)
+    return jnp.concatenate(blocks, axis=2)
+
+
 def convtranspose_kernel_phases(kernel: jax.Array) -> jax.Array:
     """4x4 HWIO transpose-conv kernel -> a 3x3 stride-1 kernel whose output
     channels stack the four stride-2 phases in (ry, rx, co) order; apply to
