@@ -11,7 +11,6 @@ by design (SURVEY.md §2.1):
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import flax.linen as nn
