@@ -56,14 +56,25 @@ def _taps(kernel: jax.Array, g: int) -> jax.Array:
 
 
 def _stage(src, dst_write, w2, w2_rem, bias_col, n_rows, g, cin_p, cout,
-           wp_s, wp_out, pad_left, lane_ok):
+           wp_s, wp_out, pad_left, lane_ok, itm=4):
     """Run one conv stage: ``src(row0, nrows)`` yields the (nrows, cin_p,
     wp_s) input window for a row group; ``dst_write(h0, res)`` stores the
-    (rows, cout, wp_out) result."""
+    (rows, cout, wp_out) result. Full row groups run PAIRED — two groups'
+    tap windows lane-concatenated into one dot (same lane offsets, legal
+    concat; N doubles, the tap matrices load half as often)."""
     f32 = jnp.float32
 
+    def epilogue(h0, rows, acc):
+        res = jnp.maximum(acc + bias_col[: rows * cout], 0.0)
+        if lane_ok is not None:
+            res = jnp.where(lane_ok, res, 0.0)
+        dst_write(h0, res.reshape(rows, cout, wp_out))
+
+    def win(h0, rows):
+        return src(h0, 3 + rows - 1).reshape((3 + rows - 1) * cin_p, wp_s)
+
     def run_group(h0, rows, mat):
-        a = src(h0, 3 + rows - 1).reshape((3 + rows - 1) * cin_p, wp_s)
+        a = win(h0, rows)
         acc = jnp.zeros((rows * cout, wp_out), f32)
         for dx in range(3):
             off = FRONT - pad_left + dx
@@ -71,14 +82,35 @@ def _stage(src, dst_write, w2, w2_rem, bias_col, n_rows, g, cin_p, cout,
                 mat[dx], a[:, off : off + wp_out],
                 (((1,), (0,)), ((), ())), preferred_element_type=f32,
             )
-        res = jnp.maximum(acc + bias_col[: rows * cout], 0.0)
-        if lane_ok is not None:
-            res = jnp.where(lane_ok, res, 0.0)
-        dst_write(h0, res.reshape(rows, cout, wp_out))
+        epilogue(h0, rows, acc)
+
+    def run_pair(h0):
+        a0, a1 = win(h0, g), win(h0 + g, g)
+        acc = jnp.zeros((g * cout, 2 * wp_out), f32)
+        for dx in range(3):
+            off = FRONT - pad_left + dx
+            rhs = jnp.concatenate(
+                [a0[:, off : off + wp_out], a1[:, off : off + wp_out]], 1
+            )
+            acc += lax.dot_general(
+                w2[dx], rhs,
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+        epilogue(h0, g, acc[:, :wp_out])
+        epilogue(h0 + g, g, acc[:, wp_out:])
+
+    # same scoped-VMEM gate as ops/pallas_conv.py: pairing's extra
+    # temporaries blow the 16 MB limit on wide-channel f32 stages
+    pair_ok = (2 + g) * cin_p * wp_s * itm <= 1_200_000
 
     full = n_rows // g
-    for i in range(full):
+    i = 0
+    while pair_ok and i + 1 < full:
+        run_pair(i * g)
+        i += 2
+    while i < full:
         run_group(i * g, g, w2)
+        i += 1
     rem = n_rows - full * g
     if rem:
         run_group(full * g, rem, w2_rem)
@@ -204,7 +236,8 @@ def _chain_kernel(*refs, chans, gs, rems, th, w_out, wp_out, n_tiles,
 
         src_wp = xs.shape[-1] if i == 0 else mids[i - 1].shape[-1]
         _stage(src, dst, w2, w2r, bias, rows_out, gs[i], chans[i],
-               chans[i + 1], src_wp, wp_out, 1, mask)
+               chans[i + 1], src_wp, wp_out, 1, mask,
+               itm=jnp.dtype(xs.dtype).itemsize)
 
         if not last:
             # aligned invariant for the next stage's halo: intermediate

@@ -196,27 +196,34 @@ def _kernel(*refs, kh: int, kw: int,
     if mask_lanes:
         lane_ok = lax.broadcasted_iota(jnp.int32, (1, wp_out), 1) < w_out
 
-    # G output rows per iteration: one block-Toeplitz matmul per tap
-    # computes all of them, amortizing loop and matmul-issue overhead.
-    def group(i, _):
-        h0 = i * g
+    wp_conv = wp_acc if s2g else wp_out
+
+    def window(h0):
         a = xs[slot, pl.ds(h0, kh + g - 1)]
         if jnp.issubdtype(a.dtype, jnp.integer):
             # fused wire decode: integer camera input converts to float in
             # VMEM, so the u8 frame never round-trips HBM as floats.
             # (Mosaic lacks a direct u8->f32 cast; widen to i32 first.)
             a = a.astype(jnp.int32).astype(f32)
-        a = a.reshape(k_rows, wp_s)
-        wp_conv = wp_acc if s2g else wp_out
-        acc = jnp.zeros((g * cout, wp_conv), f32)
-        for dx in range(kw):
-            off = FRONT - pad_left + dx
-            acc += lax.dot_general(
-                w2_ref[dx],
-                a[:, off : off + wp_conv],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
+        return a.reshape(k_rows, wp_s)
+
+    # Pair two row groups per dot where the tile allows: their tap windows
+    # share lane offsets, so the rhs lane-concat is legal; N doubles and
+    # the tap matrices load half as often (measured -190 us full-graph).
+    # The pairing's extra temporaries (second window + doubled rhs/acc)
+    # blow the 16 MB scoped-VMEM limit on wide-channel f32 kernels, so
+    # gate on the window size (the failing class measured 1.84 MB).
+    win_itm = (
+        4 if jnp.issubdtype(xs.dtype, jnp.integer)  # windows decode to f32
+        else jnp.dtype(xs.dtype).itemsize
+    )
+    win_bytes = k_rows * wp_s * win_itm
+    pair = (
+        not s2g and d2s_f is None and (th // g) % 2 == 0
+        and win_bytes <= 1_200_000
+    )
+
+    def finish(h0, acc):
         if s2g:
             # lane-stride-2 decimation: the conv ran at FULL lane width on
             # the row-pair form; keep every second lane via one constant
@@ -280,7 +287,42 @@ def _kernel(*refs, kh: int, kw: int,
         )
         return 0
 
-    lax.fori_loop(0, th // g, group, 0)
+    def group(i, _):
+        h0 = i * g
+        a = window(h0)
+        acc = jnp.zeros((g * cout, wp_conv), f32)
+        for dx in range(kw):
+            off = FRONT - pad_left + dx
+            acc += lax.dot_general(
+                w2_ref[dx],
+                a[:, off : off + wp_conv],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        return finish(h0, acc)
+
+    def group2(i, _):
+        h0 = i * 2 * g
+        a0, a1 = window(h0), window(h0 + g)
+        acc = jnp.zeros((g * cout, 2 * wp_conv), f32)
+        for dx in range(kw):
+            off = FRONT - pad_left + dx
+            rhs = jnp.concatenate(
+                [a0[:, off : off + wp_conv], a1[:, off : off + wp_conv]], 1
+            )
+            acc += lax.dot_general(
+                w2_ref[dx], rhs,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        finish(h0, acc[:, :wp_conv])
+        finish(h0 + g, acc[:, wp_conv:])
+        return 0
+
+    if pair:
+        lax.fori_loop(0, th // (2 * g), group2, 0)
+    else:
+        lax.fori_loop(0, th // g, group, 0)
 
     # aligned form: output rows past h_out (tile overhang) must be zeros
     overhang = n_tiles * th - h_out

@@ -232,19 +232,14 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
 
     # G output rows per block-Toeplitz matmul: at 8-channel widths a single
     # row's matmul is (16, kh*2cin) — 12% of the MXU's M dimension; grouping
-    # rows stacks g*2cout into M (measured ~2x on the full-res 5x5 layers)
-    def group(i, _):
-        h0 = i * g
-        a = xs[slot, pl.ds(h0, kh + g - 1)].reshape(k_rows, wp_s)
-        acc = jnp.zeros((g * 2 * cout, wp_out), f32)
-        for dx in range(kw):
-            off = FRONT - pad_left + dx
-            acc += lax.dot_general(
-                w2_ref[dx],
-                a[:, off : off + wp_out],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
+    # rows stacks g*2cout into M (measured ~2x on the full-res 5x5 layers).
+    # Groups run PAIRED where the tile allows: two groups' tap windows
+    # lane-concatenate into one dot (same lane offsets; N doubles and the
+    # tap matrices load half as often).
+    def window(h0):
+        return xs[slot, pl.ds(h0, kh + g - 1)].reshape(k_rows, wp_s)
+
+    def finish(h0, acc):
         outs, cnfs = [], []
         for r in range(g):
             nomin = acc[r * 2 * cout : r * 2 * cout + cout]
@@ -266,8 +261,8 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
             # fused 2x2 max pool of the WS output (the step-1 downsample):
             # in [ev|od] channel blocks the lane pair IS a channel pair, so
             # the pool is a row-pair max + a channel-block max — pure VMEM
-            # elementwise work replacing ~150 MB of XLA reshape/slice/max
-            # traffic at the full-res level. g is even (asserted).
+            # elementwise work replacing the XLA reshape/slice/max graph at
+            # the full-res level. g is even (asserted).
             pc = cout // 2
             for arr, dst in ((og, pout_ref), (cg, pcnf_ref)):
                 v = arr.reshape(g // 2, 2, cout, wp_out)
@@ -276,7 +271,45 @@ def _kernel(*refs, kh: int, kw: int, cin_pad: int, cout: int,
                 dst[0, pl.ds(h0 // 2, g // 2)] = m.astype(dst.dtype)
         return 0
 
-    lax.fori_loop(0, th // g, group, 0)
+    def group(i, _):
+        h0 = i * g
+        a = window(h0)
+        acc = jnp.zeros((g * 2 * cout, wp_out), f32)
+        for dx in range(kw):
+            off = FRONT - pad_left + dx
+            acc += lax.dot_general(
+                w2_ref[dx],
+                a[:, off : off + wp_out],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        return finish(h0, acc)
+
+    def group2(i, _):
+        h0 = i * 2 * g
+        a0, a1 = window(h0), window(h0 + g)
+        acc = jnp.zeros((g * 2 * cout, 2 * wp_out), f32)
+        for dx in range(kw):
+            off = FRONT - pad_left + dx
+            rhs = jnp.concatenate(
+                [a0[:, off : off + wp_out], a1[:, off : off + wp_out]], 1
+            )
+            acc += lax.dot_general(
+                w2_ref[dx], rhs,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        finish(h0, acc[:, :wp_out])
+        finish(h0 + g, acc[:, wp_out:])
+        return 0
+
+    # scoped-VMEM gate (see ops/pallas_conv.py): the nconv kernels are
+    # narrow-channel, so the paired temporaries stay small — every graph
+    # instance compiles well under this bound
+    if (th // g) % 2 == 0 and k_rows * wp_s * 4 <= 2_500_000:
+        lax.fori_loop(0, th // (2 * g), group2, 0)
+    else:
+        lax.fori_loop(0, th // g, group, 0)
 
     overhang = n_tiles * th - h_out
     if overhang and aligned_out:
