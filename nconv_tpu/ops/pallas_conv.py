@@ -207,20 +207,24 @@ def _kernel(*refs, kh: int, kw: int,
             a = a.astype(jnp.int32).astype(f32)
         return a.reshape(k_rows, wp_s)
 
-    # Pair two row groups per dot where the tile allows: their tap windows
-    # share lane offsets, so the rhs lane-concat is legal; N doubles and
-    # the tap matrices load half as often (measured -190 us full-graph).
-    # The pairing's extra temporaries (second window + doubled rhs/acc)
-    # blow the 16 MB scoped-VMEM limit on wide-channel f32 kernels, so
-    # gate on the window size (the failing class measured 1.84 MB).
+    # Pack several row groups per dot where the tile allows: their tap
+    # windows share lane offsets, so the rhs lane-concat is legal; N
+    # multiplies and the tap matrices load once per pack (measured
+    # -190 us full-graph at 2-way). The pack's extra temporaries (extra
+    # windows + widened rhs/acc) blow the 16 MB scoped-VMEM limit on
+    # wide-channel f32 kernels, so gate on the window size (the failing
+    # class measured 1.84 MB).
     win_itm = (
         4 if jnp.issubdtype(xs.dtype, jnp.integer)  # windows decode to f32
         else jnp.dtype(xs.dtype).itemsize
     )
     win_bytes = k_rows * wp_s * win_itm
-    pair = (
-        not s2g and d2s_f is None and (th // g) % 2 == 0
-        and win_bytes <= 1_200_000
+    # 4-way packing measured marginally OVER the limit on big-tile
+    # narrow-channel kernels (16.17M at fuse3 depth_conv) — 2-way only
+    n_pack = (
+        2 if (not s2g and d2s_f is None and (th // g) % 2 == 0
+              and win_bytes <= 1_200_000)
+        else 1
     )
 
     def finish(h0, acc):
@@ -287,42 +291,28 @@ def _kernel(*refs, kh: int, kw: int,
         )
         return 0
 
-    def group(i, _):
-        h0 = i * g
-        a = window(h0)
-        acc = jnp.zeros((g * cout, wp_conv), f32)
+    def group_n(i, _):
+        h0 = i * n_pack * g
+        ws = [window(h0 + j * g) for j in range(n_pack)]
+        acc = jnp.zeros((g * cout, n_pack * wp_conv), f32)
         for dx in range(kw):
             off = FRONT - pad_left + dx
-            acc += lax.dot_general(
-                w2_ref[dx],
-                a[:, off : off + wp_conv],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-        return finish(h0, acc)
-
-    def group2(i, _):
-        h0 = i * 2 * g
-        a0, a1 = window(h0), window(h0 + g)
-        acc = jnp.zeros((g * cout, 2 * wp_conv), f32)
-        for dx in range(kw):
-            off = FRONT - pad_left + dx
-            rhs = jnp.concatenate(
-                [a0[:, off : off + wp_conv], a1[:, off : off + wp_conv]], 1
+            rhs = (
+                ws[0][:, off : off + wp_conv] if n_pack == 1
+                else jnp.concatenate(
+                    [a[:, off : off + wp_conv] for a in ws], 1
+                )
             )
             acc += lax.dot_general(
                 w2_ref[dx], rhs,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
-        finish(h0, acc[:, :wp_conv])
-        finish(h0 + g, acc[:, wp_conv:])
+        for j in range(n_pack):
+            finish(h0 + j * g, acc[:, j * wp_conv : (j + 1) * wp_conv])
         return 0
 
-    if pair:
-        lax.fori_loop(0, th // (2 * g), group2, 0)
-    else:
-        lax.fori_loop(0, th // g, group, 0)
+    lax.fori_loop(0, th // (n_pack * g), group_n, 0)
 
     # aligned form: output rows past h_out (tile overhang) must be zeros
     overhang = n_tiles * th - h_out
