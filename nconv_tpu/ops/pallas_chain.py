@@ -36,6 +36,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import vmem
 from .pallas_conv import FRONT, _round_up, _tile_windows, auto_row_group
 
 # scoped-VMEM ceiling the fit model (modeled_bytes * _OBS_FACTOR) is held
@@ -101,7 +102,7 @@ def _stage(src, dst_write, w2, w2_rem, bias_col, n_rows, g, cin_p, cout,
 
     # same scoped-VMEM gate as ops/pallas_conv.py: pairing's extra
     # temporaries blow the 16 MB limit on wide-channel f32 stages
-    pair_ok = (2 + g) * cin_p * wp_s * itm <= 1_200_000
+    pair_ok = (2 + g) * cin_p * wp_s * itm <= 1_200_000 * vmem.chain_scale()
 
     full = n_rows // g
     i = 0
@@ -351,7 +352,7 @@ def conv_chain_pallas_aligned(
         # accounting runs ~1.6x this model (output double-buffering, f32
         # accumulators, stage reshapes), and the fuse3 two-stage chain at
         # th=22 measured 17.73M against the 16M limit.
-        budget = 10 * 1024 * 1024
+        budget = 10 * 1024 * 1024 * vmem.chain_scale()
         per_row = (
             2 * cin_p * wp_s * itemsize
             + sum(chans[1:-1]) * wp_s * itemsize
@@ -390,7 +391,7 @@ def conv_chain_pallas_aligned(
             tmp_b += gs[i] * chans[i + 1] * wp_out * 4   # f32 accumulator
         return xs_b + mids_b + out_b + tap_bytes(th_val) + tmp_b
 
-    cap = _VMEM_CAP_BYTES
+    cap = _VMEM_CAP_BYTES * vmem.chain_scale()
     while th > 8 and modeled_bytes(th) * _OBS_FACTOR > cap:
         th -= 2  # shrink the tile before giving up on the chain
     n_tiles = -(-h_out // th)
@@ -459,6 +460,7 @@ def conv_chain_pallas_aligned(
         scratch_shapes=[
             pltpu.VMEM((2, th + 2 * n_stages, cin_p, wp_s), x_dtype),
         ] + mid_shapes + [pltpu.SemaphoreType.DMA((2, len(parts)))],
+        compiler_params=vmem.compiler_params(),
     )(*parts, *ops)
     return out, h_out, w_out
 

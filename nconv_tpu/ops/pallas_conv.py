@@ -28,6 +28,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import vmem
+
 # lane margin in scratch providing the synthetic left halo (and DMA lane
 # alignment); taps read at FRONT - pad_left + dx >= FRONT - 2
 FRONT = 128
@@ -219,13 +221,18 @@ def _kernel(*refs, kh: int, kw: int,
         else jnp.dtype(xs.dtype).itemsize
     )
     win_bytes = k_rows * wp_s * win_itm
-    # 4-way packing measured marginally OVER the limit on big-tile
+    # 4-way packing measured marginally OVER the 16 MB limit on big-tile
     # narrow-channel kernels (16.17M at fuse3 depth_conv) — 2-way only
-    n_pack = (
-        2 if (not s2g and d2s_f is None and (th // g) % 2 == 0
-              and win_bytes <= 1_200_000)
-        else 1
-    )
+    # unless the scoped budget is raised (ops/vmem.py).
+    pack_budget = 1_200_000 * vmem.scale()
+    n_pack = 1
+    if not s2g and d2s_f is None:
+        if (th // g) % 4 == 0 and vmem.scale() >= 2 and (
+            2 * win_bytes <= pack_budget
+        ):
+            n_pack = 4
+        elif (th // g) % 2 == 0 and win_bytes <= pack_budget:
+            n_pack = 2
 
     def finish(h0, acc):
         if s2g:
@@ -474,6 +481,7 @@ def _conv_core(
             pltpu.VMEM((2, th + kh - 1, cin, wp_s), x_dtype),
             pltpu.SemaphoreType.DMA((2, len(parts))),
         ],
+        compiler_params=vmem.compiler_params(),
     )(*parts, w2, bias_arr, *extra_ops)
 
 

@@ -477,6 +477,10 @@ def _nconv_core(
             pltpu.SemaphoreType.DMA((2, n_parts)),
             pltpu.SemaphoreType.DMA((2, n_parts)),
         ],
+        # NOTE: deliberately no raised vmem limit here — the nconv kernels
+        # never exceed the default scoped budget (narrow channels; the pair
+        # gate above), and passing one measured nconv2 169 -> 204 us (the
+        # limit perturbs Mosaic's scheduling).
     )(*data_parts, *conf_parts, w2, bias.reshape(-1, 1),
       wsum.reshape(-1, 1), *extra_ops)
 

@@ -838,3 +838,28 @@ def test_conv3_chain_wsplit_fusion_geometry():
     np.testing.assert_allclose(
         np.asarray(merged), np.asarray(ref[:, :hr, :, :wr]), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("budget_scale", [1, 4])
+def test_aligned_conv_pack_width_parity(monkeypatch, budget_scale):
+    """Row-group packing (2-way at the default scoped-VMEM budget, 4-way at
+    the raised default — ops/vmem.py) must be numerically invisible."""
+    from nconv_tpu.ops import vmem
+
+    monkeypatch.setattr(vmem, "_BUDGET_SCALE", budget_scale)
+    B, h, c, w = 1, 64, 8, 200  # th divisible by 4*g -> 4-way eligible
+    x = rng.standard_normal((B, h, c, w)).astype(np.float32)
+    k = rng.standard_normal((3, 3, c, 16)).astype(np.float32) * 0.2
+    b = rng.standard_normal((16,)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv2d_pallas_bhcw_aligned(
+            _pad_lanes(jnp.asarray(x)), jnp.asarray(k), jnp.asarray(b),
+            w=w, h=h, padding=1, relu=True, tile_h=32,
+        )
+    ref = _xla_conv(jnp.asarray(x), jnp.asarray(k), jnp.asarray(b),
+                    ((1, 1), (1, 1)), relu=True)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :ho, :, :wo]), np.asarray(ref), atol=1e-4
+    )
+    # pad lanes stay zero (aligned-form contract)
+    assert not np.any(np.asarray(got[:, :, :, wo:]))
