@@ -105,6 +105,22 @@ class Conv(nn.Module):
             dtype = self.dtype or parts[0].arr.dtype
             n = min(p.arr.shape[1] for p in parts)
             xin = [p.arr[:, :n].astype(dtype) for p in parts]
+            if (
+                all(p.c % 8 == 0 for p in parts)
+                and k % 2 == 1 and self.padding == (k - 1) // 2
+            ):
+                # exact-FLOPs split kernel (per-parity scratch planes):
+                # executes HALF the tap MACs of the dense wsplit form —
+                # the fusion stages' 32/64-channel convs are MXU-tile
+                # bound, where the dense form's zero parity-blocks cost
+                # real time (the 8-channel nconvs are not; they keep the
+                # dense form via the granule gate here)
+                out, ho, _ = conv2d_pallas_bhcw_aligned(
+                    xin, kernel.astype(dtype), bias,
+                    w=parts[0].w // 2, h=parts[0].h, padding=self.padding,
+                    relu=self.fuse_relu, wsplit_cs=[p.c for p in parts],
+                )
+                return WS(out, ho, parts[0].w, self.features)
             ksplit = conv_kernel_wsplit(
                 kernel.astype(dtype), [p.c for p in parts]
             )

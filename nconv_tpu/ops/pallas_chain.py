@@ -446,6 +446,7 @@ def conv_chain_pallas_aligned(
     ]
     out = pl.pallas_call(
         kfun,
+        name=f"chain{n_stages}_{'x'.join(str(c) for c in chans)}_w{w_out}",
         grid=(n_total,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(parts)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ops),

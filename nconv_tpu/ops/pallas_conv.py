@@ -100,7 +100,8 @@ def _kernel(*refs, kh: int, kw: int,
             residual: bool, n_tiles: int, n_total: int, pad_top: int,
             pad_left: int, h_in: int, h_out: int, part_cs: tuple,
             part_wps: tuple, aligned_out: bool, d2s_f: int | None = None,
-            wp_full: int = 0, s2g: bool = False, wp_acc: int = 0):
+            wp_full: int = 0, s2g: bool = False, wp_acc: int = 0,
+            ws_offs: tuple | None = None):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
     The input may be SEVERAL aligned-form HBM refs (a logical channel
@@ -142,6 +143,23 @@ def _kernel(*refs, kh: int, kw: int,
             def _go(off=off, size=size):
                 src = pl.ds(jnp.maximum(t * th - pad_top, 0), size)
                 for i in range(n_parts):
+                    if ws_offs is not None:
+                        # exact W-phase-split: each part is [even c | odd c];
+                        # its parity halves DMA into separate parity planes
+                        # of scratch (granule-aligned channel slices of the
+                        # HBM source), so per-parity windows reshape free
+                        for ph in range(2):
+                            cp = pltpu.make_async_copy(
+                                x_hbms[i].at[
+                                    bi, src, pl.ds(ph * part_cs[i], part_cs[i])
+                                ],
+                                xs.at[slot, ph, pl.ds(off, size),
+                                      pl.ds(coffs[i], part_cs[i]),
+                                      pl.ds(FRONT, part_wps[i])],
+                                sem.at[slot, 2 * i + ph],
+                            )
+                            cp.start() if action == "start" else cp.wait()
+                        continue
                     cp = pltpu.make_async_copy(
                         x_hbms[i].at[bi, src],
                         xs.at[slot, pl.ds(off, size),
@@ -172,13 +190,16 @@ def _kernel(*refs, kh: int, kw: int,
     dma_apply(idx, slot, "wait")
 
     # zero the scratch rows the clamped DMA did not fill (virtual halo rows)
+    # (in ws mode the row axis sits behind the parity plane axis)
+    row_sl = (slice(None),) if ws_offs is not None else ()
     for zt in sorted({wn[2] for wn in wins if wn[2]}):
         tiles = [k for k, wn in enumerate(wins) if wn[2] == zt]
         cond = functools.reduce(jnp.logical_or, [t == k for k in tiles])
 
         @pl.when(cond)
         def _zero_top(zt=zt):
-            xs[slot, 0:zt] = jnp.zeros_like(xs[slot, 0:zt])
+            ix = (slot, *row_sl, slice(0, zt))
+            xs[ix] = jnp.zeros_like(xs[ix])
 
     for zb in sorted({wn[3] for wn in wins if wn[3]}):
         tiles = [k for k, wn in enumerate(wins) if wn[3] == zb]
@@ -186,9 +207,8 @@ def _kernel(*refs, kh: int, kw: int,
 
         @pl.when(cond)
         def _zero_bottom(zb=zb):
-            xs[slot, rows_full - zb :] = jnp.zeros_like(
-                xs[slot, rows_full - zb :]
-            )
+            ix = (slot, *row_sl, slice(rows_full - zb, None))
+            xs[ix] = jnp.zeros_like(xs[ix])
 
     f32 = jnp.float32
     k_rows = (kh + g - 1) * cin_p
@@ -200,8 +220,11 @@ def _kernel(*refs, kh: int, kw: int,
 
     wp_conv = wp_acc if s2g else wp_out
 
-    def window(h0):
-        a = xs[slot, pl.ds(h0, kh + g - 1)]
+    def window(h0, ph=None):
+        a = (
+            xs[slot, pl.ds(h0, kh + g - 1)] if ph is None
+            else xs[slot, ph, pl.ds(h0, kh + g - 1)]
+        )
         if jnp.issubdtype(a.dtype, jnp.integer):
             # fused wire decode: integer camera input converts to float in
             # VMEM, so the u8 frame never round-trips HBM as floats.
@@ -220,7 +243,7 @@ def _kernel(*refs, kh: int, kw: int,
         4 if jnp.issubdtype(xs.dtype, jnp.integer)  # windows decode to f32
         else jnp.dtype(xs.dtype).itemsize
     )
-    win_bytes = k_rows * wp_s * win_itm
+    win_bytes = (2 if ws_offs is not None else 1) * k_rows * wp_s * win_itm
     # 4-way packing measured marginally OVER the 16 MB limit on big-tile
     # narrow-channel kernels (16.17M at fuse3 depth_conv) — 2-way only
     # unless the scoped budget is raised (ops/vmem.py).
@@ -300,21 +323,47 @@ def _kernel(*refs, kh: int, kw: int,
 
     def group_n(i, _):
         h0 = i * n_pack * g
-        ws = [window(h0 + j * g) for j in range(n_pack)]
         acc = jnp.zeros((g * cout, n_pack * wp_conv), f32)
-        for dx in range(kw):
-            off = FRONT - pad_left + dx
-            rhs = (
-                ws[0][:, off : off + wp_conv] if n_pack == 1
-                else jnp.concatenate(
-                    [a[:, off : off + wp_conv] for a in ws], 1
+        if ws_offs is not None:
+            # exact W-phase-split: one dot per (source parity, half-width
+            # lane offset) — the tap matrices carry zero M-rows for the
+            # output parity a (ph, d) pair does not feed (M pads to the
+            # same tile either way), so every dot accumulates into the one
+            # [even F | odd F] accumulator. Executed K is the PER-PARITY
+            # channel count — the dense wsplit form's 2x tap FLOPs (zero
+            # parity-blocks inside K) never execute.
+            wsp = [
+                [window(h0 + j * g, ph) for j in range(n_pack)]
+                for ph in range(2)
+            ]
+            for di, (ph, d) in enumerate(ws_offs):
+                off = FRONT + d
+                rhs = (
+                    wsp[ph][0][:, off : off + wp_conv] if n_pack == 1
+                    else jnp.concatenate(
+                        [a[:, off : off + wp_conv] for a in wsp[ph]], 1
+                    )
                 )
-            )
-            acc += lax.dot_general(
-                w2_ref[dx], rhs,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
+                acc += lax.dot_general(
+                    w2_ref[di], rhs,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+        else:
+            ws = [window(h0 + j * g) for j in range(n_pack)]
+            for dx in range(kw):
+                off = FRONT - pad_left + dx
+                rhs = (
+                    ws[0][:, off : off + wp_conv] if n_pack == 1
+                    else jnp.concatenate(
+                        [a[:, off : off + wp_conv] for a in ws], 1
+                    )
+                )
+                acc += lax.dot_general(
+                    w2_ref[dx], rhs,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
         for j in range(n_pack):
             finish(h0 + j * g, acc[:, j * wp_conv : (j + 1) * wp_conv])
         return 0
@@ -349,18 +398,55 @@ def _conv_core(
     aligned_out: bool,
     d2s_channels: int | None = None,
     lane_stride2: bool = False,
+    ws_cs: tuple | None = None,
 ) -> jax.Array:
     """Shared core. ``parts`` is a list of (B, Hx_i, c_i, wp_i) aligned-form
     arrays forming a logical channel concat — each has data at rows
     [0, h_in) x lanes [0, w_in), zeros elsewhere. The scratch channel slab
     is granule-padded; ``kernel`` must already be zero-extended to the
     padded channel count. Returns (B, alloc >= h_out, cout_store, wp_out).
+
+    ``ws_cs``: exact W-phase-split mode. Each part is a half-width
+    [even c_i | odd c_i] channel-block tensor (2*c_i physical channels,
+    c_i = ws_cs[i], granule-aligned) and ``kernel`` is the ORIGINAL
+    full-width (kh, kw, sum(c_i), F) kernel with odd kw and symmetric
+    pad (kw-1)//2 (pad_left must equal it; pad_top is free). Output is
+    the half-width [even F | odd F] form. Unlike the dense
+    ``conv_kernel_wsplit`` form (which executes 2x the logical tap FLOPs
+    as zero parity-blocks inside K), the parity halves DMA into separate
+    scratch planes and each (source parity, lane offset) pair runs one
+    dot over the PER-PARITY channel count: out phase q at half-col k is
+    full col 2k+q, and full tap dx reads parity (q-pad+dx)%2 at half-col
+    k + (q-pad+dx)//2 — kw=3 yields 4 dots (2 parity-merged at d=0, 2
+    single-parity at d=-1/+1) with K halved vs the dense form's 3.
     """
     kh, kw, cin, cout = kernel.shape
-    part_cs = tuple(p.shape[2] for p in parts)
+    ws_offs = None
+    if ws_cs is not None:
+        assert residual_channels is None and d2s_channels is None
+        assert not lane_stride2
+        assert kw % 2 == 1 and pad_left == (kw - 1) // 2, (kw, pad_left)
+        assert cin == sum(ws_cs), (cin, ws_cs)
+        assert all(c % 8 == 0 for c in ws_cs), ws_cs
+        part_cs = tuple(ws_cs)  # per-parity slab widths
+        for p, c in zip(parts, ws_cs):
+            assert p.shape[2] == 2 * c, (p.shape, c)
+        # schedule: group full taps by (source parity, half-width offset)
+        pad = pad_left
+        sched: dict = {}
+        for q in (0, 1):
+            for dx in range(kw):
+                s = q - pad + dx
+                ph = s % 2
+                sched.setdefault((ph, (s - ph) // 2), []).append((q, dx))
+        ws_offs = tuple(sorted(sched))
+        cin_eff, cout_eff = cin, 2 * cout  # per-parity K; [ev F | od F] out
+    else:
+        part_cs = tuple(p.shape[2] for p in parts)
+        assert cin == _round_up(sum(part_cs), 8), (cin, part_cs)
+        cin_eff, cout_eff = cin, cout
     part_wps = tuple(p.shape[-1] for p in parts)
     b = parts[0].shape[0]
-    assert cin == _round_up(sum(part_cs), 8), (cin, part_cs)
     for p in parts:
         assert p.shape[0] == b and p.shape[1] >= h_in, (p.shape, h_in)
         assert p.shape[-1] % 128 == 0 and p.shape[-1] >= w_in
@@ -368,7 +454,7 @@ def _conv_core(
     wp_in = max(part_wps)
     assert wp_out <= wp_in + FRONT - kw + 1 + pad_left, (wp_out, wp_in)
     residual = residual_channels is not None
-    cout_store = residual_channels if residual else cout
+    cout_store = residual_channels if residual else cout_eff
     if residual:
         assert cout == 2 * cout_store, (cout, cout_store)
     if d2s_channels is not None:
@@ -381,21 +467,48 @@ def _conv_core(
     x_dtype = parts[0].dtype
     out_dtype = kernel.dtype if jnp.issubdtype(x_dtype, jnp.integer) else x_dtype
 
-    g = auto_row_group(kh, cin, cout)
-    # block-Toeplitz tap matrices: row group r of the output uses the same
-    # taps shifted r*cin columns into the (kh+g-1)-row input window
-    w_t = jnp.transpose(kernel, (1, 3, 0, 2))  # (kw, cout, kh, cin)
-    w2 = jnp.stack(
-        [jnp.pad(w_t, ((0, 0), (0, 0), (r, g - 1 - r), (0, 0))) for r in range(g)],
-        axis=1,
-    ).reshape(kw, g * cout, (kh + g - 1) * cin)
+    g = auto_row_group(kh, cin_eff, cout_eff)
+    if ws_cs is not None:
+        # one (g*2F, (kh+g-1)*C) block-Toeplitz tap matrix per (ph, d):
+        # effective kernel E[:, :, q*F:(q+1)*F] = sum of the full taps dx
+        # that map to this (ph, d) for output parity q; absent parities
+        # stay zero M-rows (M pads to the same tile either way)
+        mats = []
+        for key in ws_offs:
+            e = jnp.zeros((kh, cin, cout_eff), kernel.dtype)
+            for q, dx in sched[key]:
+                e = e.at[:, :, q * cout : (q + 1) * cout].add(kernel[:, dx])
+            e_t = jnp.transpose(e, (2, 0, 1))  # (2F, kh, C)
+            mats.append(
+                jnp.stack(
+                    [
+                        jnp.pad(e_t, ((0, 0), (r, g - 1 - r), (0, 0)))
+                        for r in range(g)
+                    ],
+                    axis=0,
+                ).reshape(g * cout_eff, (kh + g - 1) * cin)
+            )
+        w2 = jnp.stack(mats)  # (n_dots, g*2F, (kh+g-1)*C)
+        cout = cout_eff
+    else:
+        # block-Toeplitz tap matrices: row group r of the output uses the
+        # same taps shifted r*cin columns into the (kh+g-1)-row input window
+        w_t = jnp.transpose(kernel, (1, 3, 0, 2))  # (kw, cout, kh, cin)
+        w2 = jnp.stack(
+            [
+                jnp.pad(w_t, ((0, 0), (0, 0), (r, g - 1 - r), (0, 0)))
+                for r in range(g)
+            ],
+            axis=1,
+        ).reshape(kw, g * cout, (kh + g - 1) * cin)
 
     itemsize = jnp.dtype(x_dtype).itemsize
     wp_s = wp_in + 2 * FRONT
     out_itemsize = jnp.dtype(out_dtype).itemsize
+    n_planes = 2 if ws_cs is not None else 1  # parity scratch planes
     fixed = (
         w2.size * 4
-        + 2 * (kh + g - 1) * cin * wp_s * itemsize
+        + 2 * n_planes * (kh + g - 1) * cin * wp_s * itemsize
         + 2 * g * cout * wp_out * 4
     )
     if d2s_channels is not None:
@@ -412,7 +525,8 @@ def _conv_core(
     ) * out_itemsize
     if tile_h is None:
         tile_h = auto_tile_h(
-            cin * wp_s * itemsize, rout, kh, h_out, fixed_bytes=fixed,
+            n_planes * cin * wp_s * itemsize, rout, kh, h_out,
+            fixed_bytes=fixed,
         )
     th = min(_round_up(tile_h, g), _round_up(h_out, g))
     if aligned_out:
@@ -444,6 +558,7 @@ def _conv_core(
         pad_top=pad_top, pad_left=pad_left, h_in=h_in, h_out=h_out,
         part_cs=part_cs, part_wps=part_wps, aligned_out=aligned_out,
         d2s_f=d2s_channels, wp_full=wp_full, s2g=lane_stride2, wp_acc=wp_acc,
+        ws_offs=ws_offs,
     )
     extra_ops = []
     if d2s_channels is not None:
@@ -464,8 +579,20 @@ def _conv_core(
     rows_store = 2 * th if d2s_channels is not None else th
     c_store = d2s_channels if d2s_channels is not None else cout_store
     wp_store = wp_full if d2s_channels is not None else wp_out
+    # geometry-derived kernel name so device traces self-identify: which
+    # conv (shape/group/epilogue) each custom-call instance is
+    tag = f"conv{kh}x{kw}_{cin}x{cout}_w{w_out}_g{g}"
+    if residual:
+        tag += "_res"
+    if d2s_channels is not None:
+        tag += "_d2s"
+    if lane_stride2:
+        tag += "_s2"
+    if ws_cs is not None:
+        tag += "_wsx"
     return pl.pallas_call(
         kfun,
+        name=tag,
         grid=(n_total,),  # flattened (batch, H-tile) for cross-step prefetch
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(parts)  # HBM
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + len(extra_ops)),
@@ -478,8 +605,12 @@ def _conv_core(
             (b, n_tiles * rows_store, c_store, wp_store), out_dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + kh - 1, cin, wp_s), x_dtype),
-            pltpu.SemaphoreType.DMA((2, len(parts))),
+            pltpu.VMEM(
+                (2, 2, th + kh - 1, cin, wp_s) if ws_cs is not None
+                else (2, th + kh - 1, cin, wp_s),
+                x_dtype,
+            ),
+            pltpu.SemaphoreType.DMA((2, n_planes * len(parts))),
         ],
         compiler_params=vmem.compiler_params(),
     )(*parts, w2, bias_arr, *extra_ops)
@@ -502,10 +633,18 @@ def conv2d_pallas_bhcw_aligned(
     residual_channels: int | None = None,
     d2s_channels: int | None = None,
     lane_stride2: bool = False,
+    wsplit_cs: tuple | list | None = None,
 ) -> tuple[jax.Array, int, int]:
     """Aligned-form conv: ``x`` (B, Hx, cin, Wp) with data at rows [0, h) x
     lanes [0, w), zeros elsewhere. Returns ``(out, h_out, w_out)`` where
     ``out`` is aligned-form (B, alloc >= h_out, cout, round_up(w_out, 128)).
+
+    ``wsplit_cs=[c_i, ...]``: exact W-phase-split mode — each part is a
+    HALF-width [even c_i | odd c_i] channel-block tensor, ``kernel`` the
+    original FULL-width (kh, kw, sum(c_i), F) kernel (odd kw, symmetric
+    lane pad (kw-1)//2), ``w`` the HALF width, ``bias`` the original (F,).
+    Output is the half-width [even F | odd F] form (w_out = w). Requires
+    every c_i to be a multiple of the 8-channel granule; see _conv_core.
 
     ``d2s_channels=F``: the kernel's output channels are 4F transpose-conv
     phases in (ry, rx, f) order, and the kernel performs the depth-to-space
@@ -520,6 +659,20 @@ def conv2d_pallas_bhcw_aligned(
     """
     parts = list(x) if isinstance(x, (list, tuple)) else [x]
     kh, kw, cin, _ = kernel.shape
+    if wsplit_cs is not None:
+        pt_ = padding if pad_top is None else pad_top
+        pb_ = pt_ if pad_bottom is None else pad_bottom
+        h_in_ = parts[0].shape[1] if h is None else h
+        h_out_ = h_in_ + pt_ + pb_ - (kh - 1)
+        out = _conv_core(
+            parts, kernel,
+            None if bias is None else jnp.tile(bias, 2),
+            pad_top=pt_, pad_left=(kw - 1) // 2, h_in=h_in_, w_in=w,
+            h_out=h_out_, w_out=w, wp_out=_round_up(w, 128), relu=relu,
+            tile_h=tile_h, residual_channels=None, aligned_out=True,
+            ws_cs=tuple(wsplit_cs),
+        )
+        return out, h_out_, w
     cin_total = sum(p.shape[2] for p in parts)
     # the kernel's channels correspond to the logical concat of the parts;
     # parts must be channel-exact (any granule tail is synthesized as zero
@@ -892,6 +1045,7 @@ def conv_filtergrad_pallas_bhcw(
     )
     out = pl.pallas_call(
         kfun,
+        name=f"filtergrad{kh}x{kw}_{cin}x{cout}_w{w_out}",
         grid=(n_total,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x, HBM (halo windows)

@@ -467,6 +467,9 @@ def _nconv_core(
         ] * 2
     return pl.pallas_call(
         kfun,
+        name=f"nconv{kh}x{kw}_{cin}x{cout}_w{w_out}_g{g}"
+        + ("_up2" if any(lane_rep) else "")
+        + ("_pool" if pool_out else ""),
         grid=(n_total,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (2 * n_parts)  # HBM
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(extra_ops)),

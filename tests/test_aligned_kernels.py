@@ -434,6 +434,42 @@ def test_aligned_conv_wsplit_matches_full_width():
     )
 
 
+def test_aligned_conv_wsplit_exact_matches_full_width():
+    """The EXACT wsplit mode (wsplit_cs: per-parity scratch planes, one dot
+    per (source parity, lane offset)) == the full-width aligned conv, for
+    single- and multi-part inputs (interpret mode)."""
+    B, h, w, f = 1, 20, 272, 16
+    cs = (8, 16)
+    xs_full = [
+        jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
+        for c in cs
+    ]
+    k = jnp.asarray(
+        rng.standard_normal((3, 3, sum(cs), f)) * 0.2, jnp.float32
+    )
+    b = jnp.asarray(rng.standard_normal((f,)), jnp.float32)
+
+    def split(x):  # (B,H,C,W) -> [ev|od] at half width, lanes aligned
+        c = x.shape[2]
+        v = x.reshape(B, h, c, w // 2, 2)
+        return _pad_lanes(jnp.concatenate([v[..., 0], v[..., 1]], axis=2))
+
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv2d_pallas_bhcw_aligned(
+            [split(x) for x in xs_full], k, b,
+            w=w // 2, padding=1, relu=True, wsplit_cs=cs,
+        )
+        ref, hr, wr = conv2d_pallas_bhcw_aligned(
+            _pad_lanes(jnp.concatenate(xs_full, axis=2)), k, b,
+            w=w, padding=1, relu=True,
+        )
+    ev, od = got[:, :ho, :f, :wo], got[:, :ho, f:, :wo]
+    merged = jnp.stack([ev, od], -1).reshape(B, ho, f, 2 * wo)
+    np.testing.assert_allclose(
+        np.asarray(merged), np.asarray(ref[:, :hr, :, :wr]), atol=1e-4
+    )
+
+
 def test_aligned_nconv_wsplit_shared_matches_full():
     """nconv2d_pallas_aligned with kernel_transform: [shared-upsample ;
     split-skip] parts == the full-width nconv on [repeat ; skip] (the
