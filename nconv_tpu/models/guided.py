@@ -181,14 +181,24 @@ class NewFusionBlock(nn.Module):
                 self.features, params_only=True
             )
             dt = fused.arr.dtype
-            out, ho, wo = conv2_chain_pallas_aligned(
-                fused.arr,
-                conv_kernel_wsplit(k2_.astype(dt), [fused.c]),
-                jnp.tile(b2_.astype(dt), 2),
-                conv_kernel_wsplit(k3_.astype(dt), [self.features]),
-                jnp.tile(b3_.astype(dt), 2),
-                w=fused.w // 2, h=fused.h,
-            )
+            if fused.c % 8 == 0 and self.features % 8 == 0:
+                # exact-split chain: per-parity scratch planes at every
+                # stage, half the executed tap MACs of the dense wsplit
+                # transform (see ops/pallas_chain.py)
+                out, ho, wo = conv2_chain_pallas_aligned(
+                    fused.arr, k2_.astype(dt), b2_.astype(dt),
+                    k3_.astype(dt), b3_.astype(dt),
+                    w=fused.w // 2, h=fused.h, ws_cs=(fused.c,),
+                )
+            else:
+                out, ho, wo = conv2_chain_pallas_aligned(
+                    fused.arr,
+                    conv_kernel_wsplit(k2_.astype(dt), [fused.c]),
+                    jnp.tile(b2_.astype(dt), 2),
+                    conv_kernel_wsplit(k3_.astype(dt), [self.features]),
+                    jnp.tile(b3_.astype(dt), 2),
+                    w=fused.w // 2, h=fused.h,
+                )
             return WS(out, ho, fused.w, self.features)
         if self.layout == "bhcw" and isinstance(rgb, AT):
             # aligned-form chain: rgb/depth are ATs; the rgb‖depth feature

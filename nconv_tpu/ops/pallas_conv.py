@@ -39,6 +39,37 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def ws_schedule(kw: int, pad: int):
+    """Exact W-phase-split dot schedule. Output parity q at half-col k is
+    full col 2k+q; full tap dx reads source parity ph=(q-pad+dx)%2 at
+    half-col k+d, d=(q-pad+dx-ph)//2. Returns ``(keys, sched)``: ``keys``
+    the sorted (ph, d) pairs (one MXU dot each), ``sched`` mapping key ->
+    the [(q, dx), ...] full taps it carries. kw=3/pad=1 yields 4 dots (2
+    parity-merged at d=0, 2 single-parity at d=-1/+1) with per-parity K —
+    vs the dense wsplit form's 3 dots at doubled K (2x executed MACs)."""
+    sched: dict = {}
+    for q in (0, 1):
+        for dx in range(kw):
+            s = q - pad + dx
+            ph = s % 2
+            sched.setdefault((ph, (s - ph) // 2), []).append((q, dx))
+    return tuple(sorted(sched)), sched
+
+
+def ws_effective_kernels(kernel: jax.Array, keys, sched) -> list[jax.Array]:
+    """Per-(ph, d) effective kernels for the exact W-phase-split form:
+    E[:, :, q*F:(q+1)*F] sums the full taps dx mapping to this key for
+    output parity q; absent parities stay zero. Each is (kh, C, 2F)."""
+    kh, _, cin, cout = kernel.shape
+    mats = []
+    for key in keys:
+        e = jnp.zeros((kh, cin, 2 * cout), kernel.dtype)
+        for q, dx in sched[key]:
+            e = e.at[:, :, q * cout : (q + 1) * cout].add(kernel[:, dx])
+        mats.append(e)
+    return mats
+
+
 def auto_tile_h(
     rin_bytes: int, rout_bytes: int, kh: int, h_out: int,
     budget: int = 10 << 20, max_th: int = 64, fixed_bytes: int = 0,
@@ -432,14 +463,7 @@ def _conv_core(
         for p, c in zip(parts, ws_cs):
             assert p.shape[2] == 2 * c, (p.shape, c)
         # schedule: group full taps by (source parity, half-width offset)
-        pad = pad_left
-        sched: dict = {}
-        for q in (0, 1):
-            for dx in range(kw):
-                s = q - pad + dx
-                ph = s % 2
-                sched.setdefault((ph, (s - ph) // 2), []).append((q, dx))
-        ws_offs = tuple(sorted(sched))
+        ws_offs, sched = ws_schedule(kw, pad_left)
         cin_eff, cout_eff = cin, 2 * cout  # per-parity K; [ev F | od F] out
     else:
         part_cs = tuple(p.shape[2] for p in parts)
@@ -474,10 +498,7 @@ def _conv_core(
         # that map to this (ph, d) for output parity q; absent parities
         # stay zero M-rows (M pads to the same tile either way)
         mats = []
-        for key in ws_offs:
-            e = jnp.zeros((kh, cin, cout_eff), kernel.dtype)
-            for q, dx in sched[key]:
-                e = e.at[:, :, q * cout : (q + 1) * cout].add(kernel[:, dx])
+        for e in ws_effective_kernels(kernel, ws_offs, sched):
             e_t = jnp.transpose(e, (2, 0, 1))  # (2F, kh, C)
             mats.append(
                 jnp.stack(

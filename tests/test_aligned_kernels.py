@@ -638,6 +638,37 @@ def test_conv2_chain_multi_part_and_split():
     )
 
 
+def test_conv2_chain_ws_exact_matches_full():
+    """EXACT-split chain (ws_cs: per-parity scratch planes at every stage,
+    original full-width kernels) == the sequential full-width conv pair —
+    the fuse3 fuse_conv2->fuse_conv3 geometry, multi-tile."""
+    from nconv_tpu.ops.pallas_chain import conv2_chain_pallas_aligned
+
+    B, h, c, w, f = 2, 20, 8, 272, 16
+    x = jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, c, f)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, f, f)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    v = x.reshape(B, h, c, w // 2, 2)
+    xs = _pad_lanes(jnp.concatenate([v[..., 0], v[..., 1]], axis=2))
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv2_chain_pallas_aligned(
+            xs, k1, b1, k2, b2, w=w // 2, tile_h=6, ws_cs=(c,),
+        )
+        m1, h1, w1 = conv2d_pallas_bhcw_aligned(
+            _pad_lanes(x), k1, b1, w=w, padding=1, relu=True
+        )
+        ref, h2, w2_ = conv2d_pallas_bhcw_aligned(
+            m1, k2, b2, w=w1, h=h1, padding=1, relu=True
+        )
+    ev, od = got[:, :ho, :f, :wo], got[:, :ho, f:, :wo]
+    merged = jnp.stack([ev, od], -1).reshape(B, ho, f, 2 * wo)
+    np.testing.assert_allclose(
+        np.asarray(merged), np.asarray(ref[:, :h2, :, :w2_]), atol=1e-4
+    )
+
+
 @pytest.mark.parametrize("shape,feats", [
     ((1, 16, 8, 130), (16, 16, 16)),
     ((2, 22, 11, 140), (9, 8, 16)),   # overhang + non-granule channels
