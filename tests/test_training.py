@@ -186,6 +186,49 @@ def test_guided_training_updates_and_freezes_step1():
     assert any(changed)
 
 
+def test_guided_mixed_precision_training_tracks_f32():
+    """bf16 feature convs + f32 depth path / master weights (the CLI's
+    --precision bf16): params stay f32, the loss trajectory tracks the
+    all-f32 step closely, and the frozen step 1 stays bitwise frozen."""
+    import jax.numpy as jnp
+
+    from nconv_tpu.models import GuidedDepthNet
+
+    cfg = TrainConfig(
+        epochs=1, batch_size=2,
+        optimizer=OptimizerConfig("adamw", 1e-3, 1e-7), log_every=0,
+    )
+    first = synth_batch(b=2)
+    losses = {}
+    for tag, kw in (
+        ("f32", {}),
+        ("bf16", dict(dtype=jnp.bfloat16, step1_dtype=jnp.float32)),
+    ):
+        task = GuidedTask(GuidedDepthNet(backend="xla", **kw))
+        trainer = Trainer(task, cfg, log_fn=quiet)
+        state = trainer.init_state(jax.random.key(0), first)
+        trainer._build_steps()
+        batch = trainer._device_batch(first)
+        p, s, o = state["params"], state["batch_stats"], state["opt_state"]
+        step1_before = jax.tree.map(np.asarray, p["step1"])
+        run = []
+        for _ in range(4):
+            p, s, o, loss = trainer._train_step(p, s, o, batch)
+            run.append(float(loss))
+        losses[tag] = run
+        assert all(
+            leaf.dtype == np.float32 for leaf in jax.tree.leaves(p)
+        ), "master weights must stay f32"
+        for a, b in zip(
+            jax.tree.leaves(step1_before), jax.tree.leaves(p["step1"])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert losses["bf16"][-1] < losses["bf16"][0], losses["bf16"]
+    np.testing.assert_allclose(
+        losses["bf16"], losses["f32"], rtol=0.02
+    )
+
+
 def test_guided_pallas_training_runs_step1_aligned():
     """With the pallas backend GuidedTask clones the model with
     step1_aligned=True (the frozen step 1 runs its fast aligned graph);
