@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="measure jitted train-step ms/batch (unguided b=4 + guided b=1, "
              "reference geometry) instead of inference latency",
     )
+    pb.add_argument(
+        "--precision", choices=["f32", "bf16"], default="f32",
+        help="with --train: run the GUIDED step mixed-precision (bf16 "
+             "feature convs, f32 depth path / master weights — the "
+             "train-step2 --precision bf16 recipe)",
+    )
 
     pp = sub.add_parser("profile", help="per-op device-time profile of the guided net")
     pp.add_argument("--height", type=int, default=352)
@@ -480,10 +486,20 @@ def _bench_train(args, backend: str) -> int:
             "gt": truth,
         }
 
-    out = {"backend": backend, "height": h, "width": w}
+    mixed = getattr(args, "precision", "f32") == "bf16"
+    if mixed:
+        import jax.numpy as jnp
+    guided_model = GuidedDepthNet(
+        backend=backend,
+        dtype=jnp.bfloat16 if mixed else None,
+        step1_dtype=jnp.float32 if mixed else None,
+    )
+    out = {"backend": backend, "height": h, "width": w, "precision": (
+        "bf16" if mixed else "f32"
+    )}
     for name, task, b in (
         ("unguided", UnguidedTask(NConvUNet(backend=backend)), 4),
-        ("guided", GuidedTask(GuidedDepthNet(backend=backend)), 1),
+        ("guided", GuidedTask(guided_model), 1),
     ):
         cfg = TrainConfig(
             epochs=1, batch_size=b, optimizer=OptimizerConfig("adamw", 1e-3, 1e-7),
