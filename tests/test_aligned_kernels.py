@@ -744,6 +744,41 @@ def test_conv_chain_vmem_split_fallback(monkeypatch):
     )
 
 
+def test_conv_chain_ws_exact_vmem_split_fallback(monkeypatch):
+    """The EXACT-split chain's VMEM fallback recursion: the head keeps
+    ws_cs, the tail re-enters ws mode on the head's [ev F | od F] output
+    — numerically identical to the unsplit exact chain."""
+    from nconv_tpu.ops import pallas_chain
+    from nconv_tpu.ops.pallas_chain import conv_chain_pallas_aligned
+
+    B, h, c, w = 1, 16, 8, 272
+    x = jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
+    kbs = []
+    cin = c
+    for f in (16, 8):
+        kbs.append((
+            jnp.asarray(rng.standard_normal((3, 3, cin, f)) * 0.2,
+                        jnp.float32),
+            jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32),
+        ))
+        cin = f
+    v = x.reshape(B, h, c, w // 2, 2)
+    xs = _pad_lanes(jnp.concatenate([v[..., 0], v[..., 1]], axis=2))
+    with pltpu.force_tpu_interpret_mode():
+        full, ho, wo = conv_chain_pallas_aligned(
+            xs, kbs, w=w // 2, tile_h=8, ws_cs=(c,)
+        )
+        monkeypatch.setattr(pallas_chain, "_VMEM_CAP_BYTES", 1)
+        split, hs, ws_ = conv_chain_pallas_aligned(
+            xs, kbs, w=w // 2, tile_h=8, ws_cs=(c,)
+        )
+    assert (ho, wo) == (hs, ws_)
+    np.testing.assert_allclose(
+        np.asarray(split[:, :ho, :, :wo]),
+        np.asarray(full[:, :ho, :, :wo]), atol=1e-4,
+    )
+
+
 @pytest.mark.parametrize("shape,f", [
     ((1, 16, 8, 140), 16),
     ((2, 20, 16, 260), 8),
