@@ -138,9 +138,15 @@ def build_parser() -> argparse.ArgumentParser:
              "f32 depth path) with BN folded",
     )
 
-    pc = sub.add_parser("convert", help="convert a reference .pth.tar checkpoint")
-    pc.add_argument("--pth", required=True)
-    pc.add_argument("--out", required=True)
+    pc = sub.add_parser(
+        "convert",
+        help="convert a reference .pth.tar checkpoint (or, with --reverse, "
+             "export one of ours back to the reference format)",
+    )
+    pc.add_argument("--pth", required=True,
+                    help="reference .pth.tar: the input, or with --reverse "
+                         "the output path")
+    pc.add_argument("--out", help="destination checkpoint (forward mode)")
     pc.add_argument("--model", choices=["unguided", "guided"], default="guided")
     pc.add_argument(
         "--kernel-mode", choices=["raw", "softplus_inverse"],
@@ -148,8 +154,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="softplus_inverse (default) makes the converted checkpoint "
              "work with the default pos_fn='softplus' models; 'raw' keeps "
              "reference weights verbatim and requires --pos-fn identity at "
-             "eval/infer/bench time",
+             "eval/infer/bench time. In --reverse mode the default exports "
+             "the effective softplus'd kernels (what a reference checkpoint "
+             "carries); 'raw' copies kernels verbatim",
     )
+    pc.add_argument(
+        "--reverse", action="store_true",
+        help="export OUR checkpoint (--checkpoint) to a reference-format "
+             ".pth.tar at --pth, ready for the reference's export_to_onnx.py "
+             "(see docs/INTEROP.md)",
+    )
+    pc.add_argument("--checkpoint",
+                    help="our checkpoint to export (reverse mode)")
 
     pv = sub.add_parser("eval", help="evaluate a checkpoint on a dataset")
     _add_train_common(pv)
@@ -575,9 +591,27 @@ def cmd_convert(args) -> int:
         convert_guided_state_dict,
         convert_unguided_state_dict,
         load_pth_tar,
+        save_pth_tar,
     )
     from .training import save_best
 
+    if args.reverse:
+        if not args.checkpoint:
+            print("--reverse needs --checkpoint", file=sys.stderr)
+            return 2
+        from .training import load_best
+
+        variables = load_best(args.checkpoint)
+        # default kernel-mode symmetry: forward 'softplus_inverse' stores raw
+        # params for pos_fn='softplus' models, so the reverse of that regime
+        # re-applies softplus to emit the positive reference-format weights
+        mode = "softplus" if args.kernel_mode == "softplus_inverse" else "raw"
+        save_pth_tar(args.pth, variables, model=args.model, kernel_mode=mode)
+        print(f"exported {args.checkpoint} -> {args.pth}")
+        return 0
+    if not args.out:
+        print("forward conversion needs --out", file=sys.stderr)
+        return 2
     sd = load_pth_tar(args.pth)
     if args.model == "guided":
         variables = convert_guided_state_dict(sd, kernel_mode=args.kernel_mode)

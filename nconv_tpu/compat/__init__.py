@@ -1,14 +1,21 @@
-"""Interop with the reference PyTorch stack (checkpoint conversion)."""
+"""Interop with the reference PyTorch stack (checkpoint conversion,
+both directions: reference .pth.tar -> flax variables and back)."""
 from .torch_convert import (
     convert_guided_state_dict,
     convert_unguided_state_dict,
     load_pth_tar,
+    save_pth_tar,
     strip_data_parallel_prefix,
+    to_guided_state_dict,
+    to_unguided_state_dict,
 )
 
 __all__ = [
     "convert_guided_state_dict",
     "convert_unguided_state_dict",
     "load_pth_tar",
+    "save_pth_tar",
     "strip_data_parallel_prefix",
+    "to_guided_state_dict",
+    "to_unguided_state_dict",
 ]

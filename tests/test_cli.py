@@ -164,3 +164,41 @@ def test_bench_train_mode(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["unguided_train_ms_per_batch"] > 0
     assert out["guided_train_ms_per_batch"] > 0
+
+
+def test_convert_reverse_roundtrip(tmp_path):
+    """convert --reverse writes a reference-format .pth.tar that the forward
+    converter maps back to the original variables."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from nconv_tpu.compat import convert_guided_state_dict, load_pth_tar
+    from nconv_tpu.models import GuidedDepthNet
+    from nconv_tpu.training import save_best
+
+    rgb = jnp.zeros((1, 48, 64, 3), jnp.float32)
+    d = jnp.zeros((1, 48, 64, 1), jnp.float32)
+    variables = GuidedDepthNet().init(jax.random.key(0), rgb, d, rgb, d)
+    ck = save_best(str(tmp_path), "g", variables)
+
+    pth = str(tmp_path / "ours.pth.tar")
+    rc = main(["convert", "--reverse", "--checkpoint", ck, "--pth", pth])
+    assert rc == 0
+
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    assert set(ckpt) == {"epoch", "state_dict", "stats"}
+    assert all(k.startswith("module.") for k in ckpt["state_dict"])
+
+    # forward conversion in softplus_inverse mode undoes the reverse export
+    back = convert_guided_state_dict(
+        load_pth_tar(pth), kernel_mode="softplus_inverse"
+    )
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf, np.float32), np.asarray(flat_b[path], np.float32),
+            atol=1e-6, err_msg=str(path),
+        )

@@ -146,3 +146,77 @@ def test_guided_two_streams_differ_and_share_weights():
 
     s0, s1 = model_j.apply(variables, rgb_a, d_a, rgb_b, d_b)
     assert rel_rmse(np.asarray(s0[-1]), np.asarray(s1[-1])) > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: our variables -> reference .pth.tar. The reference's
+# deployment pipeline (export_to_onnx.py) consumes these unchanged, which is
+# the ONNX-deliverable bridge (docs/INTEROP.md).
+# ---------------------------------------------------------------------------
+
+def test_reverse_unguided_roundtrip_bit_exact():
+    """reference sd -> variables -> sd reproduces every live key exactly."""
+    from nconv_tpu.compat import to_unguided_state_dict
+
+    ref_step1, _ = ref
+    torch.manual_seed(4)
+    sd0 = {k: np.asarray(v) for k, v in ref_step1.SETP1_NCONV().state_dict().items()}
+
+    variables = convert_unguided_state_dict(sd0)  # raw mode
+    sd1 = to_unguided_state_dict(variables, kernel_mode="raw")
+    live = {k for k in sd0 if ".bnorm." not in k and not k.endswith("num_batches_tracked")}
+    assert set(sd1) == live
+    for k in sd1:
+        np.testing.assert_array_equal(sd1[k], sd0[k], err_msg=k)
+
+
+def test_reverse_guided_loads_into_reference_and_matches(tmp_path):
+    """Natively-initialized GuidedDepthNet weights, exported via save_pth_tar,
+    load into the reference SETP2_BP_EXPORT with no unexpected keys and give
+    the same forward as our model (softplus'd kernels exported as the
+    positive weights a reference checkpoint carries).
+
+    Runs at 480x640: the reference graph only closes at its native NYU
+    geometry (the step-1 crop quirk, SURVEY.md §2.1)."""
+    import jax
+
+    from nconv_tpu.compat import save_pth_tar, strip_data_parallel_prefix
+
+    _, ref_step2 = ref
+    h, w = 480, 640
+    rng = np.random.default_rng(5)
+    rgb0 = rng.random((1, 3, h, w)).astype(np.float32) * 255
+    rgb1 = rng.random((1, 3, h, w)).astype(np.float32) * 255
+    d0 = make_sparse_depth(rng, 1, h, w)
+    d1 = make_sparse_depth(rng, 1, h, w)
+
+    model_j = GuidedDepthNet()  # native defaults: step1 pos_fn='softplus'
+    variables = model_j.init(jax.random.key(7), nhwc(rgb0), nhwc(d0), nhwc(rgb1), nhwc(d1))
+    out0_j, out1_j = model_j.apply(
+        variables, nhwc(rgb0), nhwc(d0), nhwc(rgb1), nhwc(d1),
+        method=GuidedDepthNet.export,
+    )
+
+    path = str(tmp_path / "ours.pth.tar")
+    save_pth_tar(path, variables, model="guided", kernel_mode="softplus")
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = strip_data_parallel_prefix(ckpt["state_dict"])
+    torch.manual_seed(6)
+    model_t = patch_two_stream(ref_step2.SETP2_BP_EXPORT().eval())
+    result = model_t.load_state_dict(
+        {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}, strict=False
+    )
+    assert not result.unexpected_keys
+    # only the reference's dead state may be missing
+    assert all(
+        ".bnorm." in k or k.endswith("num_batches_tracked")
+        for k in result.missing_keys
+    ), result.missing_keys
+
+    with torch.no_grad():
+        out0_t, out1_t = model_t(
+            torch.tensor(rgb0), torch.tensor(d0), torch.tensor(rgb1), torch.tensor(d1)
+        )
+    assert rel_rmse(from_nhwc(out0_j), np.asarray(out0_t)) < 1e-5
+    assert rel_rmse(from_nhwc(out1_j), np.asarray(out1_t)) < 1e-5
