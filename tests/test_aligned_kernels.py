@@ -965,3 +965,75 @@ def test_aligned_conv_pack_width_parity(monkeypatch, budget_scale):
     )
     # pad lanes stay zero (aligned-form contract)
     assert not np.any(np.asarray(got[:, :, :, wo:]))
+
+
+@pytest.mark.parametrize(
+    "kw,vpad,B,relu", [(3, 0, 1, False), (3, 2, 2, True), (5, 1, 1, True), (5, 2, 2, False)]
+)
+def test_aligned_conv_wsplit_exact_geometry_sweep(kw, vpad, B, relu):
+    """The exact ws mode (ws_schedule is generic over kw/pad) == full width
+    across kernel sizes, vertical pads, batch, multi-part inputs and a
+    multi-tile H with remainder (tile_h=8, h=20)."""
+    h, w, f = 20, 144, 8
+    cs = (8, 8)
+    xs_full = [
+        jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32) for c in cs
+    ]
+    k = jnp.asarray(
+        rng.standard_normal((kw, kw, sum(cs), f)) * 0.2, jnp.float32
+    )
+    b = jnp.asarray(rng.standard_normal((f,)), jnp.float32)
+
+    def split(x):
+        c = x.shape[2]
+        v = x.reshape(B, h, c, w // 2, 2)
+        return _pad_lanes(jnp.concatenate([v[..., 0], v[..., 1]], axis=2))
+
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv2d_pallas_bhcw_aligned(
+            [split(x) for x in xs_full], k, b,
+            w=w // 2, padding=vpad, relu=relu, tile_h=8, wsplit_cs=cs,
+        )
+        ref, hr, wr = conv2d_pallas_bhcw_aligned(
+            _pad_lanes(jnp.concatenate(xs_full, axis=2)), k, b,
+            w=w, pad_top=vpad, pad_left=(kw - 1) // 2, relu=relu, tile_h=8,
+        )
+    assert (ho, 2 * wo) == (hr, wr)
+    ev, od = got[:, :ho, :f, :wo], got[:, :ho, f:, :wo]
+    merged = jnp.stack([ev, od], -1).reshape(B, ho, f, 2 * wo)
+    np.testing.assert_allclose(
+        np.asarray(merged), np.asarray(ref[:, :hr, :, :wr]), atol=1e-4
+    )
+
+
+def test_conv3_chain_ws_exact_matches_full_width():
+    """3-stage exact-split chain (every intermediate as parity planes in
+    VMEM) == the full-width 3-stage chain on interleaved input."""
+    from nconv_tpu.ops.pallas_chain import conv_chain_pallas_aligned
+
+    B, h, c, w = 1, 16, 8, 272
+    x = jnp.asarray(rng.standard_normal((B, h, c, w)), jnp.float32)
+    kbs = []
+    cin = c
+    for f in (16, 8, 8):
+        kbs.append((
+            jnp.asarray(rng.standard_normal((3, 3, cin, f)) * 0.2, jnp.float32),
+            jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32),
+        ))
+        cin = f
+    v = x.reshape(B, h, c, w // 2, 2)
+    xs = _pad_lanes(jnp.concatenate([v[..., 0], v[..., 1]], axis=2))
+    with pltpu.force_tpu_interpret_mode():
+        got, ho, wo = conv_chain_pallas_aligned(
+            xs, kbs, w=w // 2, tile_h=8, ws_cs=(c,)
+        )
+        ref, hr, wr = conv_chain_pallas_aligned(
+            _pad_lanes(x), kbs, w=w, tile_h=8
+        )
+    f = kbs[-1][1].shape[0]
+    assert (ho, 2 * wo) == (hr, wr)
+    ev, od = got[:, :ho, :f, :wo], got[:, :ho, f:, :wo]
+    merged = jnp.stack([ev, od], -1).reshape(B, ho, f, 2 * wo)
+    np.testing.assert_allclose(
+        np.asarray(merged), np.asarray(ref[:, :hr, :, :wr]), atol=1e-4
+    )
