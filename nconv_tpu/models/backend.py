@@ -9,14 +9,18 @@ silently running the ~3x-slower XLA graph (round-2 verdict item 3).
 from __future__ import annotations
 
 
+_TPU_PLATFORMS = ("tpu", "axon")  # real chip / tunneled variant
+
+
 def resolve_backend(name: str = "auto") -> str:
     """'auto' -> 'pallas' on TPU, 'xla' elsewhere. An explicit 'pallas'
-    also falls back to 'xla' off-TPU: the platform may be named 'tpu' or a
-    tunneled variant (e.g. 'axon'), so anything that is not cpu/gpu counts
-    as TPU."""
+    also falls back to 'xla' off-TPU. TPU detection is an allowlist
+    (`_TPU_PLATFORMS`): the Mosaic kernels only lower on TPU backends, so
+    an unknown accelerator plugin must fail SAFE onto the portable XLA
+    graph rather than crash in the Mosaic compiler."""
     import jax
 
-    on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda")
+    on_tpu = jax.default_backend() in _TPU_PLATFORMS
     if name == "auto":
         return "pallas" if on_tpu else "xla"
     if name == "pallas" and not on_tpu:

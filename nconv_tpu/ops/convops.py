@@ -185,13 +185,9 @@ def space_to_depth_bhcw_even(x: jax.Array) -> jax.Array:
     :func:`conv_kernel_s2d_aligned` + symmetric pad 1 + an end crop computes
     the same stride-2 convolution (the halo becomes one wasted output
     row/col)."""
-    b, h, c, w = x.shape
-    assert h % 2 == 0 and w % 2 == 0, (h, w)
-    v = x.reshape(b, h, c, w // 2, 2)
-    top, bot = v[:, 0::2], v[:, 1::2]
-    return jnp.concatenate(
-        [top[..., 0], top[..., 1], bot[..., 0], bot[..., 1]], axis=2
-    )
+    # identical deinterleave to the aligned form (a dense tensor is the
+    # aligned form with zero slack) — one body, two entry points
+    return space_to_depth_aligned(x)
 
 
 def space_to_depth_aligned(x: jax.Array) -> jax.Array:

@@ -799,6 +799,13 @@ def _conv2d_bhcw_bwd(padding, relu, tile_h, residual_channels, res, g):
         # since relu(main + bias) = out - short. The cotangent pair
         # [g·mask ‖ g] then flows through ONE transposed conv / ONE
         # filter-grad (the channel concat matches the stacked kernel).
+        # Precision caveat: in bf16 `out` rounds relu(main+b)+short as a
+        # SUM while `short` here is rounded separately, so the recovered
+        # mask can flip where |main+b| is below short's bf16 ulp — gradient
+        # noise at the ReLU boundary of the same order as the bf16 rounding
+        # noise already present (mixed-precision training keeps loss parity
+        # with f32 to ~3 decimals; exact masks would need the forward to
+        # store them).
         n = residual_channels
         short = _conv2d_bhcw_impl(
             x.astype(kernel.dtype), kernel[..., n:], None,

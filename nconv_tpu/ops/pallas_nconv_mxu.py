@@ -522,12 +522,13 @@ def nconv2d_pallas_aligned(
     p = padding
     h_in = data_parts[0].shape[1] if h is None else h
     w_pos = POS_FNS[pos_fn](kernel)
-    pl, pr = p, p
+    # pl_ (not pl): keep the module's `pallas as pl` alias visible here
+    pl_, pr = p, p
     if kernel_transform is not None:
-        w_pos, pl, pr = kernel_transform(w_pos)
+        w_pos, pl_, pr = kernel_transform(w_pos)
     kh, kw, cin, _ = w_pos.shape
     h_out = h_in + 2 * p - (kh - 1)
-    w_out = w + pl + pr - (kw - 1)
+    w_out = w + pl_ + pr - (kw - 1)
     cin_total = sum(dp.shape[2] for dp in data_parts)
     cin_alloc = max(_round_up(cin_total, 4), 4)
     assert cin <= cin_total, (cin, [dp.shape for dp in data_parts])
@@ -548,7 +549,7 @@ def nconv2d_pallas_aligned(
         w_pos = jnp.pad(w_pos, ((0, 0), (0, 0), (0, cin_alloc - cin), (0, 0)))
     res = _nconv_core(
         data_parts, conf_parts, w_pos, bias,
-        pad_top=p, pad_left=pl, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
+        pad_top=p, pad_left=pl_, h_in=h_in, w_in=w, h_out=h_out, w_out=w_out,
         wp_out=_round_up(w_out, 128), eps=eps, tile_h=tile_h,
         aligned_out=True, row_shared=row_shared, lane_rep=lane_rep,
         pool_out=pool_out,

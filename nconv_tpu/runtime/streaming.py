@@ -17,6 +17,7 @@ steady-state throughput; ``benchmark`` reports FPS plus p50/p90/p99.
 from __future__ import annotations
 
 import time
+import warnings
 from dataclasses import dataclass
 from typing import Any, Callable, Iterable, Iterator
 
@@ -25,10 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import GuidedDepthNet
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from ..models.aligned import _round_up
 
 
 @dataclass
@@ -112,6 +110,8 @@ class StreamingEngine:
             coo_capacity if coo_capacity is not None
             else _round_up(height * width // 8, 512)
         )
+        self.coo_dropped_points = 0  # over-capacity points silently lost
+        self._coo_warned = False
         self.variables = jax.device_put(variables)
         scale = self.DEPTH_SCALE
 
@@ -177,6 +177,18 @@ class StreamingEngine:
         flat = np.asarray(a, np.float32).ravel()
         nz = np.flatnonzero(flat)
         if nz.size > self.coo_capacity:
+            # denser than the wire capacity: keep the first `capacity`
+            # points and SAY so (the dense-u16 wire would carry them all)
+            self.coo_dropped_points += nz.size - self.coo_capacity
+            if not self._coo_warned:
+                self._coo_warned = True
+                warnings.warn(
+                    f"COO depth wire capacity {self.coo_capacity} exceeded "
+                    f"({nz.size} nonzero points); excess points are dropped "
+                    f"— raise coo_capacity or use the dense wire "
+                    f"(depth_wire='u16') for streams this dense",
+                    stacklevel=3,
+                )
             nz = nz[: self.coo_capacity]
         idx = np.zeros((1, self.coo_capacity), np.int32)
         val = np.zeros((1, self.coo_capacity), np.uint16)

@@ -109,6 +109,12 @@ def test_default_backend_selection(guided_vars, monkeypatch):
     assert resolve_backend("auto") == "pallas"
     assert resolve_backend("xla") == "xla"
 
+    # unknown accelerator plugins fail SAFE onto the portable XLA graph
+    # (the Mosaic kernels only lower on TPU backends)
+    monkeypatch.setattr(jax, "default_backend", lambda: "METAL")
+    assert resolve_backend("auto") == "xla"
+    assert resolve_backend("pallas") == "xla"
+
 
 def test_coo_wire_matches_dense_u16(guided_vars):
     """'coo' depth wire (index+value arrays, rasterized in-graph) must give
@@ -129,8 +135,14 @@ def test_coo_wire_capacity_truncates(guided_vars):
         guided_vars, height=H, width=W, depth_wire="coo", coo_capacity=64
     )
     d = np.ones((H, W), np.float32)  # fully dense: must truncate, not crash
-    idx, val = engine._encode_depth_coo(d)
+    with pytest.warns(UserWarning, match="COO depth wire capacity"):
+        idx, val = engine._encode_depth_coo(d)
     assert idx.shape == (1, 64) and val.shape == (1, 64)
+    # the drop is counted, and the warning fires only once
+    assert engine.coo_dropped_points == H * W - 64
+    with np.errstate(all="ignore"):
+        engine._encode_depth_coo(d)
+    assert engine.coo_dropped_points == 2 * (H * W - 64)
     rgb, _ = frame()
     out0, _ = engine(rgb, d, rgb, d)
     assert np.isfinite(np.asarray(out0)).all()
