@@ -82,7 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
              "all depth-path, so it has no bf16 mode",
     )
 
-    pe = sub.add_parser("export", help="export the guided net to StableHLO")
+    pe = sub.add_parser(
+        "export", help="export the guided net (StableHLO or deployment ONNX)"
+    )
     pe.add_argument("--checkpoint", required=True)
     pe.add_argument("--out", required=True)
     pe.add_argument("--height", type=int, default=480)
@@ -91,6 +93,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--batch", type=int, default=None,
         help="fixed batch size; default exports a dynamic batch axis "
              "(the reference ONNX contract, export_to_onnx.py:65-73)",
+    )
+    pe.add_argument(
+        "--format", choices=("stablehlo", "onnx"), default="stablehlo",
+        help="stablehlo = TPU-native interchange via jax.export (default); "
+             "onnx = the reference's actual deployment artifact "
+             "(export_to_onnx.py:57-74) via the torch mirror — needs torch, "
+             "always dynamic-batch, --batch ignored",
+    )
+    pe.add_argument(
+        "--kernel-mode", choices=("softplus", "raw"), default="softplus",
+        help="(onnx) how step-1 NConv kernels become positive weights: "
+             "'softplus' for models trained here (pos_fn='softplus'), 'raw' "
+             "for trees converted from a reference checkpoint with "
+             "kernel_mode='raw'",
     )
 
     pb = sub.add_parser("bench", help="FPS/latency benchmark of the guided net")
@@ -419,10 +435,26 @@ def cmd_train_step2(args) -> int:
 
 
 def cmd_export(args) -> int:
-    from .runtime import export_guided, save_exported
     from .training import load_best
 
     variables = load_best(args.checkpoint)
+    if args.format == "onnx":
+        from .compat import export_guided_onnx, read_onnx_summary
+
+        path = export_guided_onnx(
+            variables, args.out,
+            height=args.height, width=args.width,
+            kernel_mode=args.kernel_mode,
+        )
+        s = read_onnx_summary(path)
+        print(
+            f"exported deployment ONNX to {path} "
+            f"(opset {s['opset']}, inputs {s['inputs']}, "
+            f"outputs {s['outputs']}, {s['total_weight_floats']} weight floats)"
+        )
+        return 0
+    from .runtime import export_guided, save_exported
+
     exported = export_guided(
         variables, height=args.height, width=args.width, batch=args.batch
     )

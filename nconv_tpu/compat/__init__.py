@@ -1,5 +1,8 @@
-"""Interop with the reference PyTorch stack (checkpoint conversion,
-both directions: reference .pth.tar -> flax variables and back)."""
+"""Interop with the reference PyTorch stack: checkpoint conversion (both
+directions: reference .pth.tar -> flax variables and back) and deployment
+ONNX emission (`.onnx_export`; the torch mirror itself lives in
+`.torch_mirror` and is imported lazily since it needs torch)."""
+from .onnx_export import export_guided_onnx, read_onnx_summary
 from .torch_convert import (
     convert_guided_state_dict,
     convert_unguided_state_dict,
@@ -12,6 +15,8 @@ from .torch_convert import (
 
 __all__ = [
     "convert_guided_state_dict",
+    "export_guided_onnx",
+    "read_onnx_summary",
     "convert_unguided_state_dict",
     "load_pth_tar",
     "save_pth_tar",

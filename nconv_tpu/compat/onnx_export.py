@@ -1,0 +1,212 @@
+"""Emit the reference's deployment artifact: a real ONNX file.
+
+The reference ships `NEWnconvCSPN.onnx` built by `export_to_onnx.py` and
+consumed by a robot-side ONNX Runtime session
+(`/root/reference/export_to_onnx.py:57-74`, `README.md:30`). This module
+produces the same artifact — identical I/O contract (inputs ``rgb_0,
+depth_0, rgb_1, depth_1`` NCHW, outputs ``output_depth_0, output_depth_1``,
+dynamic batch axes, opset 17) — directly from TPU-trained flax variables,
+via the torch mirror (:mod:`.torch_mirror`) and torch's TorchScript ONNX
+exporter.
+
+Why this works without the ``onnx`` wheel: torch's legacy exporter builds
+and serializes the ``ModelProto`` in C++; the only step importing ``onnx``
+is ``_add_onnxscript_fn``, which splices *onnxscript custom-function protos*
+into the already-serialized bytes — a no-op for graphs (like this one) with
+no onnxscript ops. :func:`_no_onnxscript_passthrough` patches exactly that
+step when ``onnx`` is absent, leaving the artifact bytes untouched.
+
+:func:`read_onnx_summary` is an ``onnx``-independent structural check: a
+minimal protobuf wire-format walker over the stable public field numbers of
+onnx.proto (ModelProto 1/7/8, GraphProto 1/11/12, NodeProto 4,
+ValueInfoProto 1), used by tests and the CLI to confirm the emitted file is
+a well-formed ModelProto with the contract's graph I/O.
+"""
+from __future__ import annotations
+
+import contextlib
+from collections import Counter
+from typing import Mapping
+
+__all__ = ["export_guided_onnx", "read_onnx_summary"]
+
+INPUT_NAMES = ["rgb_0", "depth_0", "rgb_1", "depth_1"]
+OUTPUT_NAMES = ["output_depth_0", "output_depth_1"]
+OPSET = 17
+
+
+@contextlib.contextmanager
+def _no_onnxscript_passthrough():
+    """When a usable ``onnx`` isn't installed, make the exporter's final
+    onnxscript-splice step the identity it already is for this graph.
+
+    "Usable" is probed by the attribute the exporter actually calls
+    (``load_model_from_string``), not by import success: a bare ``import
+    onnx`` can resolve to an unrelated namespace package — e.g. the
+    reference repo's ``onnx/`` artifact directory when ``/root/reference``
+    is on ``sys.path`` during parity tests.
+    """
+    try:
+        import onnx
+
+        usable = hasattr(onnx, "load_model_from_string")
+    except ImportError:
+        usable = False
+    if usable:
+        yield  # real package present: nothing to patch
+        return
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    original = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, custom_opsets: model_bytes
+    try:
+        yield
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = original
+
+
+def export_guided_onnx(
+    variables: Mapping,
+    path: str,
+    *,
+    height: int = 480,
+    width: int = 640,
+    kernel_mode: str = "softplus",
+) -> str:
+    """Write ``GuidedDepthNet`` variables as a deployment ONNX file.
+
+    ``variables`` is the unfolded flax tree (``params`` + ``batch_stats``);
+    ``kernel_mode`` follows :func:`to_guided_state_dict` ('softplus' for
+    trained ``pos_fn='softplus'`` models, 'raw' for trees converted from a
+    reference checkpoint with ``kernel_mode='raw'``). ``height``/``width``
+    fix the traced spatial geometry (the reference traces 480x640,
+    `export_to_onnx.py:45-46`); the batch axis stays dynamic.
+    """
+    import torch
+
+    from .torch_convert import to_guided_state_dict
+    from .torch_mirror import GuidedExportMirror
+
+    sd = to_guided_state_dict(variables, kernel_mode=kernel_mode)
+    model = GuidedExportMirror(sd).eval()
+    rgb = torch.zeros(1, 3, height, width)
+    dep = torch.zeros(1, 1, height, width)
+    with _no_onnxscript_passthrough(), torch.no_grad():
+        torch.onnx.export(
+            model,
+            (rgb, dep, rgb.clone(), dep.clone()),
+            path,
+            export_params=True,
+            opset_version=OPSET,
+            do_constant_folding=True,
+            input_names=list(INPUT_NAMES),
+            output_names=list(OUTPUT_NAMES),
+            dynamic_axes={n: {0: "batch_size"} for n in INPUT_NAMES + OUTPUT_NAMES},
+            dynamo=False,
+        )
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Minimal protobuf wire-format reader (structure check, no `onnx` needed)
+# ---------------------------------------------------------------------------
+
+def _iter_fields(buf: memoryview):
+    """Yield (field_number, wire_type, value) over one protobuf message.
+
+    Wire types handled: 0 varint (value=int), 2 length-delimited
+    (value=memoryview), 5 fixed32 / 1 fixed64 (value=raw bytes).
+    """
+    i, n = 0, len(buf)
+    while i < n:
+        tag, i = _varint(buf, i)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            val, i = _varint(buf, i)
+        elif wire == 2:
+            ln, i = _varint(buf, i)
+            val = buf[i : i + ln]
+            i += ln
+        elif wire == 5:
+            val = bytes(buf[i : i + 4])
+            i += 4
+        elif wire == 1:
+            val = bytes(buf[i : i + 8])
+            i += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+        yield field, wire, val
+
+
+def _varint(buf: memoryview, i: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, i
+        shift += 7
+
+
+def _value_info_name(buf: memoryview) -> str:
+    for field, wire, val in _iter_fields(buf):
+        if field == 1 and wire == 2:  # ValueInfoProto.name
+            return bytes(val).decode()
+    return ""
+
+
+def read_onnx_summary(path: str) -> dict:
+    """Parse an ONNX file's structure without the ``onnx`` package.
+
+    Returns ``{ir_version, opset, inputs, outputs, initializers, op_counts,
+    total_weight_floats}`` from the ModelProto/GraphProto wire format.
+    """
+    with open(path, "rb") as f:
+        data = memoryview(f.read())
+
+    out: dict = {
+        "ir_version": None,
+        "opset": None,
+        "inputs": [],
+        "outputs": [],
+        "initializers": 0,
+        "op_counts": Counter(),
+        "total_weight_floats": 0,
+    }
+    graph = None
+    for field, wire, val in _iter_fields(data):
+        if field == 1 and wire == 0:  # ModelProto.ir_version
+            out["ir_version"] = val
+        elif field == 7 and wire == 2:  # ModelProto.graph
+            graph = val
+        elif field == 8 and wire == 2:  # ModelProto.opset_import
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 2 and w2 == 0:  # OperatorSetIdProto.version
+                    out["opset"] = v2
+    if graph is None:
+        raise ValueError(f"{path}: no GraphProto found — not an ONNX ModelProto")
+
+    init_names: set[str] = set()
+    for field, wire, val in _iter_fields(graph):
+        if field == 1 and wire == 2:  # GraphProto.node
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 4 and w2 == 2:  # NodeProto.op_type
+                    out["op_counts"][bytes(v2).decode()] += 1
+        elif field == 5 and wire == 2:  # GraphProto.initializer
+            out["initializers"] += 1
+            dims = 1
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 1 and w2 == 0:  # TensorProto.dims
+                    dims *= v2
+                elif f2 == 8 and w2 == 2:  # TensorProto.name
+                    init_names.add(bytes(v2).decode())
+            out["total_weight_floats"] += dims
+        elif field == 11 and wire == 2:  # GraphProto.input
+            out["inputs"].append(_value_info_name(val))
+        elif field == 12 and wire == 2:  # GraphProto.output
+            out["outputs"].append(_value_info_name(val))
+    # graph inputs may include initializers (pre-IR4 style); keep pure inputs
+    out["inputs"] = [n for n in out["inputs"] if n not in init_names]
+    out["op_counts"] = dict(out["op_counts"])
+    return out

@@ -69,6 +69,29 @@ def test_train_step1_synthetic_and_export(tmp_path, capsys):
     out0, out1 = fn(rgb, d, rgb, d)
     assert np.asarray(out0).shape == (1, 48, 64, 1)
 
+    # deployment-ONNX emission from the same trained checkpoint
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return
+    onnx_out = str(tmp_path / "model.onnx")
+    rc = main(
+        [
+            "export",
+            "--checkpoint", os.path.join(ckdir, "s2"),
+            "--out", onnx_out,
+            "--height", "48", "--width", "64",
+            "--format", "onnx",
+        ]
+    )
+    assert rc == 0
+    from nconv_tpu.compat import read_onnx_summary
+
+    s = read_onnx_summary(onnx_out)
+    assert s["opset"] == 17
+    assert s["inputs"] == ["rgb_0", "depth_0", "rgb_1", "depth_1"]
+    assert s["outputs"] == ["output_depth_0", "output_depth_1"]
+
 
 def test_bench_command_smoke(capsys):
     rc = main(
