@@ -87,11 +87,17 @@ def export_guided_onnx(
     from .torch_convert import to_guided_state_dict
     from .torch_mirror import GuidedExportMirror
 
+    import warnings
+
     sd = to_guided_state_dict(variables, kernel_mode=kernel_mode)
     model = GuidedExportMirror(sd).eval()
     rgb = torch.zeros(1, 3, height, width)
     dep = torch.zeros(1, 1, height, width)
-    with _no_onnxscript_passthrough(), torch.no_grad():
+    with _no_onnxscript_passthrough(), torch.no_grad(), warnings.catch_warnings():
+        # the mirror freezes H/W as trace-time constants on purpose (only
+        # the batch axis is dynamic, same as the reference artifact) — the
+        # tracer's "might not generalize" warnings describe the contract
+        warnings.simplefilter("ignore", torch.jit.TracerWarning)
         torch.onnx.export(
             model,
             (rgb, dep, rgb.clone(), dep.clone()),

@@ -217,14 +217,17 @@ class GuidedExportMirror(nn.Module):
         f2, d2 = self._fuse_block("fuse2", r1, dense, f1, d1, 2)
         _, d3 = self._fuse_block("fuse3", r0, dense, f2, d2, 1)
 
-        # export border zeroing (step2.py:122-124) as a static mask multiply;
-        # H/W are trace-time ints, so this folds to a constant in the ONNX
-        h, w = d3.shape[2], d3.shape[3]
-        mask = torch.ones(1, 1, h, w, dtype=d3.dtype, device=d3.device)
+        # export border zeroing (step2.py:122-124) as a static mask multiply.
+        # H/W are trace-time ints (only batch is dynamic), so building the
+        # mask in numpy makes it a single folded constant in the ONNX —
+        # tracing in-place slice zeroing instead would leave ScatterND /
+        # Expand / Where subgraphs in the artifact.
+        h, w = int(d3.shape[2]), int(d3.shape[3])
+        mask = np.ones((1, 1, h, w), np.float32)
         mask[:, :, :BORDER_TOP] = 0
         mask[:, :, h - BORDER_BOTTOM :] = 0
         mask[:, :, :, :BORDER_LEFT] = 0
-        return d3 * mask
+        return d3 * torch.as_tensor(mask, dtype=d3.dtype, device=d3.device)
 
     def forward(self, rgb0, depth0, rgb1, depth1):
         # one backbone pass per stream (weights shared). The reference's
