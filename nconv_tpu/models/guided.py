@@ -103,15 +103,17 @@ class UpCat(nn.Module):
                     fold_bn=self.fold_bn, layout=self.layout, name="conv"
                 )
                 return conv([fout, rgb_skip], train)
-            # plain-BHCW training graph: same blocks on (B, H, C, W) arrays
+            # plain-BHCW training graph: same blocks on (B, H, C, W) arrays;
+            # the channel concats feed the differentiable multi-input kernel
+            # as separate operands — no HBM concat materializes
             fout = Basic2dTrans(
                 self.features, dtype=self.dtype, backend=self.backend,
                 fold_bn=self.fold_bn, layout=self.layout, name="upf"
-            )(jnp.concatenate([depth, fusion], axis=2), train)
+            )([depth, fusion], train)
             return Basic2d(
                 self.features, dtype=self.dtype, backend=self.backend,
                 fold_bn=self.fold_bn, layout=self.layout, name="conv"
-            )(jnp.concatenate([fout, rgb_skip], axis=2), train)
+            )([fout, rgb_skip], train)
         fout = Basic2dTrans(
             self.features, dtype=self.dtype, backend=self.backend,
             fold_bn=self.fold_bn, layout=self.layout, name="upf"
@@ -240,10 +242,15 @@ class NewFusionBlock(nn.Module):
             # NHWC edges: one transpose in per input, one out
             rgb = jnp.transpose(rgb, (0, 1, 3, 2))
             depth = jnp.transpose(depth, (0, 1, 3, 2))
-        cat_axis = 2 if chain_bhcw else -1
         rgb_feat = mk(self.rgb_channels, "rgb_conv")(rgb)
         depth_feat = mk(self.rgb_channels, "depth_conv")(depth)
-        fused = jnp.concatenate([rgb_feat, depth_feat], cat_axis)
+        fused = (
+            # BHCW training chain: the rgb‖depth feature concat feeds the
+            # differentiable multi-input kernel — no HBM concat
+            [rgb_feat, depth_feat]
+            if chain_bhcw
+            else jnp.concatenate([rgb_feat, depth_feat], -1)
+        )
         fused = mk(self.rgb_channels, "fuse_conv1")(fused)
         fused = mk(self.features, "fuse_conv2")(fused)
         fused = mk(self.features, "fuse_conv3")(fused)

@@ -68,12 +68,18 @@ class Conv(nn.Module):
                 list(x) if isinstance(x, (list, tuple)) else None
             )
             split = parts is not None and isinstance(parts[0], WS)
-            aligned = parts is not None and not split
+            plain_cat = parts is not None and not isinstance(
+                parts[0], (AT, WS)
+            )  # plain (B,H,C,W) arrays: differentiable multi-input conv
+            aligned = parts is not None and not split and not plain_cat
             if split:
                 assert all(isinstance(p, WS) for p in parts)
                 cin = sum(p.c for p in parts)  # full-W logical channels
             elif aligned:
                 cin = sum(p.logical_c for p in parts)
+            elif plain_cat:
+                assert self.layout == "bhcw"
+                cin = sum(p.shape[2] for p in parts)
             else:
                 cin = x.shape[-1] if self.layout == "nhwc" else x.shape[2]
         k = self.kernel_size
@@ -151,6 +157,21 @@ class Conv(nn.Module):
                 relu=self.fuse_relu,
             )
             return AT(out, ho, wo)
+        if plain_cat:
+            # plain-BHCW training graph: conv over a logical channel concat
+            # without the HBM concat — differentiable (custom VJP), per-part
+            # DMA slabs (ops.pallas_conv.conv2d_pallas_bhcw_cat)
+            from ..ops.pallas_conv import conv2d_pallas_bhcw_cat
+
+            assert self.backend == "pallas" and self.stride == 1
+            dtype = self.dtype or parts[0].dtype
+            return conv2d_pallas_bhcw_cat(
+                [p.astype(dtype) for p in parts],
+                kernel.astype(dtype),
+                None if bias is None else bias,
+                padding=self.padding,
+                relu=self.fuse_relu,
+            )
         is_int = jnp.issubdtype(x.dtype, jnp.integer)
         dtype = self.dtype or (jnp.float32 if is_int else x.dtype)
         # integer (wire-format) inputs pass straight into the pallas kernels,
@@ -211,7 +232,9 @@ class ConvTranspose(nn.Module):
         if isinstance(x, AT):
             cin = x.logical_c
         elif isinstance(x, (list, tuple)):
-            cin = sum(p.logical_c for p in x)
+            cin = sum(
+                p.logical_c if isinstance(p, AT) else p.shape[2] for p in x
+            )
         else:
             cin = x.shape[-1] if layout == "nhwc" else x.shape[2]
         k = self.kernel_size
@@ -346,20 +369,28 @@ class Basic2dTrans(nn.Module):
         """Differentiable phased transpose conv on plain (B,H,C,W): the 4x4
         s2 p1 transpose conv as a stride-1 Pallas conv with phase-stacked
         output channels + depth-to-space (both differentiable), then BN+ReLU
-        in BHCW. Param/stat tree identical to the NHWC path."""
+        in BHCW. A list input is a logical channel concat fed to the
+        multi-input kernel (no HBM concat — UpCat's [depth ‖ fusion]).
+        Param/stat tree identical to the NHWC path."""
         from ..ops.convops import (
             convtranspose_kernel_phases,
             depth_to_space_bhcw,
         )
-        from ..ops.pallas_conv import conv2d_pallas_bhcw
+        from ..ops.pallas_conv import conv2d_pallas_bhcw, conv2d_pallas_bhcw_cat
 
         kernel, bias = ConvTranspose(
             self.features, use_bias=not self.use_norm, dtype=self.dtype,
         )(x, params_only=True, layout="bhcw")
-        dtype = self.dtype or x.dtype
+        parts = list(x) if isinstance(x, (list, tuple)) else None
+        dtype = self.dtype or (parts[0] if parts else x).dtype
         kph = convtranspose_kernel_phases(kernel.astype(dtype))
         bias4 = None if bias is None else jnp.tile(bias.astype(dtype), 4)
-        out_ph = conv2d_pallas_bhcw(x.astype(dtype), kph, bias4, padding=1)
+        if parts is not None:
+            out_ph = conv2d_pallas_bhcw_cat(
+                [p.astype(dtype) for p in parts], kph, bias4, padding=1
+            )
+        else:
+            out_ph = conv2d_pallas_bhcw(x.astype(dtype), kph, bias4, padding=1)
         out = depth_to_space_bhcw(out_ph, self.features)
         if self.use_norm:
             out = BatchNorm(dtype=self.dtype, layout="bhcw")(out, train)
@@ -446,6 +477,8 @@ class RGBEncoder(nn.Module):
                 # plain-BHCW training form: stride 2 via differentiable
                 # space-to-depth + the custom-VJP stride-1 kernel
                 return self._train_bhcw_s2(x, train)
+            if self.backend == "pallas":
+                return self._train_bhcw_s1(x, train)
         # the reference's encoder conv keeps its (redundant-under-BN) bias —
         # torch Conv2d default (models/step2.py:141); the fold transform
         # absorbs it into the folded bias
@@ -470,12 +503,16 @@ class RGBEncoder(nn.Module):
 
     def _train_bhcw_s2(self, x, train: bool):
         """Differentiable stride-2 block on plain (B,H,C,W) operands: ONE
-        pad-free space-to-depth shared by main conv and shortcut, both
-        running as stride-1 Pallas kernels (custom VJP). The aligned-form
-        2x2 tap grids assume a top/left halo; under symmetric padding=1 the
-        same taps produce one extra output row/col at the END, cropped here
-        (the crop's VJP is a cheap pad). Module order matches the generic
-        path, so the param/stat tree is identical."""
+        pad-free space-to-depth feeding main conv and shortcut STACKED on
+        the output channels of a single stride-1 Pallas kernel pass (custom
+        VJP) — one HBM read of the s2d tensor, and the backward runs one
+        transposed conv / filter-grad for the pair instead of two. BN+ReLU
+        apply to the main half; the add stays XLA (BN between conv and add
+        rules out the inference path's fused residual epilogue). The
+        aligned-form 2x2 tap grids assume a top/left halo; under symmetric
+        padding=1 the same taps produce one extra output row/col at the
+        END, cropped here (the crop's VJP is a cheap pad). Module order
+        matches the generic path, so the param/stat tree is identical."""
         from ..ops.convops import (
             conv_kernel_s2d_aligned,
             shortcut_kernel_s2d_aligned,
@@ -488,24 +525,61 @@ class RGBEncoder(nn.Module):
             self.features, stride=self.stride, dtype=self.dtype,
             backend=self.backend, layout="bhcw",
         )(x, params_only=True)
-        dtype = self.dtype or x.dtype
-        xin = space_to_depth_bhcw_even(x.astype(dtype))
-        out = conv2d_pallas_bhcw(
-            xin, conv_kernel_s2d_aligned(k_main.astype(dtype)), b_main,
-            padding=1,
-        )[:, :h2, :, :w2]
-        if not self.fold_bn:
-            out = BatchNorm(dtype=self.dtype, layout="bhcw")(out, train)
-            out = nn.relu(out)
         k_short, _ = Conv(
             self.features, kernel_size=1, stride=self.stride, padding=0,
             use_bias=False, dtype=self.dtype, backend=self.backend,
             layout="bhcw",
         )(x, params_only=True)
-        shortcut = conv2d_pallas_bhcw(
-            xin, shortcut_kernel_s2d_aligned(k_short.astype(dtype)), None,
-            padding=1,
-        )[:, :h2, :, :w2]
+        dtype = self.dtype or x.dtype
+        xin = space_to_depth_bhcw_even(x.astype(dtype))
+        f = self.features
+        kcat = jnp.concatenate(
+            [
+                conv_kernel_s2d_aligned(k_main.astype(dtype)),
+                shortcut_kernel_s2d_aligned(k_short.astype(dtype)),
+            ],
+            -1,
+        )
+        bcat = jnp.concatenate(
+            [b_main.astype(dtype), jnp.zeros((f,), dtype)]
+        )
+        y = conv2d_pallas_bhcw(xin, kcat, bcat, padding=1)[:, :h2, :, :w2]
+        out, shortcut = y[:, :, :f], y[:, :, f:]
+        if not self.fold_bn:
+            out = BatchNorm(dtype=self.dtype, layout="bhcw")(out, train)
+            out = nn.relu(out)
+        return out + shortcut
+
+    def _train_bhcw_s1(self, x, train: bool):
+        """Differentiable stride-1 block on plain (B,H,C,W): the 1x1
+        shortcut embeds at the 3x3 center tap and stacks on the main conv's
+        output channels — ONE kernel pass reads x once (the reference block
+        reads it twice, `models/step2.py:148-152`), and the backward is one
+        transposed conv / filter-grad for the pair. Param/stat tree
+        identical to the generic path."""
+        from ..ops.pallas_conv import conv2d_pallas_bhcw
+
+        k_main, b_main = Conv(
+            self.features, stride=1, dtype=self.dtype,
+            backend=self.backend, layout="bhcw",
+        )(x, params_only=True)
+        k_short, _ = Conv(
+            self.features, kernel_size=1, stride=1, padding=0,
+            use_bias=False, dtype=self.dtype, backend=self.backend,
+            layout="bhcw",
+        )(x, params_only=True)
+        dtype = self.dtype or x.dtype
+        f = self.features
+        k_sh3 = jnp.zeros_like(k_main).at[1, 1].set(k_short[0, 0])
+        kcat = jnp.concatenate([k_main, k_sh3], -1).astype(dtype)
+        bcat = jnp.concatenate(
+            [b_main.astype(dtype), jnp.zeros((f,), dtype)]
+        )
+        y = conv2d_pallas_bhcw(x.astype(dtype), kcat, bcat, padding=1)
+        out, shortcut = y[:, :, :f], y[:, :, f:]
+        if not self.fold_bn:
+            out = BatchNorm(dtype=self.dtype, layout="bhcw")(out, train)
+            out = nn.relu(out)
         return out + shortcut
 
     def _fused_bhcw(self, x):

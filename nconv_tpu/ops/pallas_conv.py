@@ -915,6 +915,119 @@ def _conv2d_bhcw_impl(
     return out
 
 
+def _conv2d_bhcw_cat_impl(parts, kernel, bias, *, padding, relu):
+    """Multi-input forward: a logical channel concat fed to the kernel as
+    separate HBM operands (per-part DMA slabs) — the concatenated tensor is
+    never materialized. Sub-granule parts (the 1-channel depth in UpCat's
+    [depth ‖ fusion]) are padded to the 8-channel DMA granule and the kernel
+    re-expressed over the physical layout with zero taps on pad channels
+    (:func:`ops.convops.expand_kernel_channels`)."""
+    from .convops import expand_kernel_channels
+
+    if bias is not None and bias.ndim == 0:
+        bias = None  # scalar sentinel from the differentiable wrapper
+    kh, kw, cin, cout = kernel.shape
+    b, h, _, w = parts[0].shape
+    assert cin == sum(p.shape[2] for p in parts), (
+        cin, [p.shape for p in parts]
+    )
+    p = padding
+    h_out = h + 2 * p - (kh - 1)
+    w_out = w + 2 * p - (kw - 1)
+
+    wp = _round_up(w, 128)
+    spec = []
+    phys = []
+    for x in parts:
+        assert x.shape[0] == b and x.shape[1] == h and x.shape[3] == w, (
+            x.shape, parts[0].shape
+        )
+        c = x.shape[2]
+        cp = _round_up(c, 8)
+        if cp != c or wp != w:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c), (0, wp - w)))
+        spec.append((c, cp))
+        phys.append(x)
+    if any(c != cp for c, cp in spec):
+        kernel = expand_kernel_channels(kernel, spec)
+
+    out = _conv_core(
+        phys, kernel, bias,
+        pad_top=p, pad_left=p, h_in=h, w_in=w, h_out=h_out, w_out=w_out,
+        wp_out=w_out, relu=relu, tile_h=None,
+        residual_channels=None, aligned_out=False,
+    )
+    if out.shape[1] != h_out:
+        out = out[:, :h_out]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv2d_bhcw_cat_core(parts, kernel, bias, padding, relu):
+    return _conv2d_bhcw_cat_impl(parts, kernel, bias, padding=padding, relu=relu)
+
+
+def _conv2d_bhcw_cat_fwd(parts, kernel, bias, padding, relu):
+    out = _conv2d_bhcw_cat_core(parts, kernel, bias, padding, relu)
+    return out, (parts, kernel, bias, out)
+
+
+def _conv2d_bhcw_cat_bwd(padding, relu, res, g):
+    """Backward of the multi-part conv: ONE transposed conv over the full
+    logical kernel gives the concatenated input cotangent (per-part slices
+    are channel-offset views); the weight cotangent decomposes exactly by
+    input-channel block, one filter-grad kernel call per part."""
+    parts, kernel, bias, out = res
+    if relu:
+        g = g * (out > 0)
+    d_x = transpose_conv_bhcw(g, kernel, padding)
+    d_parts = []
+    off = 0
+    for x in parts:
+        c = x.shape[2]
+        d_parts.append(d_x[:, :, off : off + c, :].astype(x.dtype))
+        off += c
+    d_k = jnp.concatenate(
+        [
+            conv_filtergrad_pallas_bhcw(
+                x.astype(kernel.dtype), g.astype(kernel.dtype),
+                kh=kernel.shape[0], kw=kernel.shape[1], padding=padding,
+            )
+            for x in parts
+        ],
+        axis=2,
+    ).astype(kernel.dtype)
+    has_bias = bias is not None and bias.ndim > 0
+    d_b = (
+        jnp.sum(g, axis=(0, 1, 3)).astype(bias.dtype)
+        if has_bias
+        else jnp.zeros_like(bias)
+    )
+    return tuple(d_parts), d_k, d_b
+
+
+_conv2d_bhcw_cat_core.defvjp(_conv2d_bhcw_cat_fwd, _conv2d_bhcw_cat_bwd)
+
+
+def conv2d_pallas_bhcw_cat(
+    parts,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    padding: int = 1,
+    relu: bool = False,
+) -> jax.Array:
+    """Differentiable stride-1 conv over a LOGICAL channel concat of plain
+    (B, H, C_i, W) operands — the training-graph twin of the aligned
+    multi-input kernels: ``conv(cat(parts, axis=2))`` without the HBM concat
+    (reference concat sites: `models/step2.py:169-174,229`). Forward runs the
+    fused row-matmul kernel with per-part DMA; gradients are hand-rolled
+    (one Pallas transposed conv for all parts + per-part filter-grad)."""
+    if bias is None:
+        bias = jnp.zeros((), kernel.dtype)  # sentinel: scalar == no bias
+    return _conv2d_bhcw_cat_core(tuple(parts), kernel, bias, padding, relu)
+
+
 def conv2d_pallas(
     x_nhwc: jax.Array,
     kernel: jax.Array,

@@ -250,3 +250,112 @@ class TestStride2Machinery:
         np.testing.assert_allclose(
             np.asarray(gb_p), np.asarray(gb_r), rtol=2e-4, atol=1e-3
         )
+
+
+class TestMultiPartConv:
+    """conv2d_pallas_bhcw_cat: a logical channel concat fed to the kernel as
+    separate HBM operands (the training graph's concat-free UpCat /
+    NewFusionBlock joins, reference `models/step2.py:169-174,229`)."""
+
+    def setup_method(self):
+        self.rng = np.random.default_rng(11)
+
+    def _rand(self, *shape):
+        return jnp.asarray(self.rng.standard_normal(shape).astype(np.float32))
+
+    def _check_fwd(self, part_cs, h, w, cout, padding=1, relu=False):
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+
+        from nconv_tpu.ops import conv2d
+        from nconv_tpu.ops.pallas_conv import conv2d_pallas_bhcw_cat
+
+        parts_nhwc = [self._rand(2, h, w, c) for c in part_cs]
+        cin = sum(part_cs)
+        k = self._rand(3, 3, cin, cout)
+        bias = self._rand(cout)
+        ref = conv2d(
+            jnp.concatenate(parts_nhwc, -1), k, bias, padding=padding
+        )
+        if relu:
+            ref = jax.nn.relu(ref)
+        parts = [jnp.transpose(p, (0, 1, 3, 2)) for p in parts_nhwc]
+        with pltpu.force_tpu_interpret_mode():
+            got = conv2d_pallas_bhcw_cat(
+                parts, k, bias, padding=padding, relu=relu
+            )
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(got, (0, 1, 3, 2))), np.asarray(ref),
+            atol=1e-4,
+        )
+
+    def test_granular_parts(self):
+        self._check_fwd([8, 16], 12, 40, 8)
+
+    def test_subgranule_part_first(self):
+        # 1-channel depth FIRST (UpCat's [depth ‖ fusion] order): binds via
+        # expand_kernel_channels, not an HBM concat
+        self._check_fwd([1, 16], 10, 24, 8)
+
+    def test_subgranule_both_with_relu(self):
+        self._check_fwd([3, 5], 9, 30, 6, relu=True)
+
+    def test_grads_match_concat_reference(self):
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+
+        from nconv_tpu.ops import conv2d
+        from nconv_tpu.ops.pallas_conv import conv2d_pallas_bhcw_cat
+
+        h, w, cout = 10, 24, 8
+        part_cs = [1, 16]
+        parts_nhwc = [self._rand(2, h, w, c) for c in part_cs]
+        k = self._rand(3, 3, sum(part_cs), cout)
+        bias = self._rand(cout)
+
+        def loss_ref(p0, p1, k, bias):
+            o = jax.nn.relu(
+                conv2d(jnp.concatenate([p0, p1], -1), k, bias, padding=1)
+            )
+            return jnp.sum(o * jnp.cos(o))
+
+        def loss_pallas(p0, p1, k, bias):
+            o = conv2d_pallas_bhcw_cat(
+                [jnp.transpose(p0, (0, 1, 3, 2)),
+                 jnp.transpose(p1, (0, 1, 3, 2))],
+                k, bias, padding=1, relu=True,
+            )
+            return jnp.sum(
+                jnp.transpose(o, (0, 1, 3, 2))
+                * jnp.cos(jnp.transpose(o, (0, 1, 3, 2)))
+            )
+
+        grads_ref = jax.grad(loss_ref, (0, 1, 2, 3))(*parts_nhwc, k, bias)
+        with pltpu.force_tpu_interpret_mode():
+            grads_p = jax.grad(loss_pallas, (0, 1, 2, 3))(
+                *parts_nhwc, k, bias
+            )
+        for gp, gr, name in zip(grads_p, grads_ref, "p0 p1 k bias".split()):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gr), rtol=2e-4, atol=1e-3,
+                err_msg=name,
+            )
+
+    def test_no_bias(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from nconv_tpu.ops import conv2d
+        from nconv_tpu.ops.pallas_conv import conv2d_pallas_bhcw_cat
+
+        parts_nhwc = [self._rand(1, 8, 16, 8), self._rand(1, 8, 16, 4)]
+        k = self._rand(3, 3, 12, 8)
+        ref = conv2d(jnp.concatenate(parts_nhwc, -1), k, padding=1)
+        with pltpu.force_tpu_interpret_mode():
+            got = conv2d_pallas_bhcw_cat(
+                [jnp.transpose(p, (0, 1, 3, 2)) for p in parts_nhwc], k,
+                padding=1,
+            )
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(got, (0, 1, 3, 2))), np.asarray(ref),
+            atol=1e-4,
+        )
