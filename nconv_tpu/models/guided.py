@@ -453,12 +453,18 @@ class GuidedDepthNet(nn.Module):
 
     def _backbone(self, rgb0, depth0, rgb1, depth1, train: bool):
         bhcw = self.layout == "bhcw"
-        depth = jnp.concatenate([depth0, depth1], axis=0)
+        # rgb1/depth1 may be None: single-stream mode (used for training —
+        # see __call__). Otherwise the two streams batch-concatenate through
+        # the shared weights (reference models/step2.py:60-77).
+        if depth1 is None:
+            depth = depth0
+            rgb = rgb0
+        else:
+            depth = jnp.concatenate([depth0, depth1], axis=0)
+            rgb = jnp.concatenate([rgb0, rgb1], axis=0)
         dense, _ = self.step1(depth)
         if self.freeze_step1:
             dense = jax.lax.stop_gradient(dense)
-
-        rgb = jnp.concatenate([rgb0, rgb1], axis=0)
         if bhcw and self.fold_bn:
             from .aligned import WS, from_aligned, wmerge, wsplit_entry
 
@@ -515,9 +521,24 @@ class GuidedDepthNet(nn.Module):
         _, d3 = self.fuse3(r0, dense, f2, d2, train)
         return d0, d1, d2, d3
 
-    def __call__(self, rgb0, depth0, rgb1, depth1, train: bool = False):
+    def __call__(self, rgb0, depth0, rgb1=None, depth1=None, train: bool = False):
+        """Two-stream train contract; pass ``rgb1=depth1=None`` for the
+        single-stream form, which returns ``(scales_stream0, None)``.
+
+        The reference's training loop feeds the SAME (rgb, depth) into both
+        streams (`train_step2.py:62`) and its loss reads stream 0 only, so
+        the duplicated half of the batch is a bit-for-bit copy. Dropping it
+        is exact, not an approximation: with the batch duplicated,
+        BatchNorm's batch mean and (biased) variance over [x; x] equal those
+        over x, so ``stream0`` — and therefore the loss, the gradients, and
+        the batch-stats updates — is the same function of (x, params) in
+        both forms. Training through the single-stream path halves the
+        backbone compute of every reference-equivalent train/val step.
+        """
         b = rgb0.shape[0]
         d0, d1, d2, d3 = self._backbone(rgb0, depth0, rgb1, depth1, train)
+        if depth1 is None:
+            return [d0, d1, d2, d3], None
         stream0 = [d[:b] for d in (d0, d1, d2, d3)]
         stream1 = [d[b:] for d in (d0, d1, d2, d3)]
         return stream0, stream1

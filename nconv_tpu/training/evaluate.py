@@ -51,11 +51,12 @@ def make_unguided_predict(variables: dict, model: NConvUNet | None = None):
 
 
 def make_guided_predict(variables: dict, model: GuidedDepthNet | None = None):
-    """Final-scale guided prediction (streams fed the same input, matching
-    the reference's validation call, train_step2.py)."""
+    """Final-scale guided prediction. The reference's validation feeds the
+    same input into both streams and reads stream 0 (train_step2.py); the
+    single-stream form is exact at half the cost (GuidedDepthNet.__call__)."""
     model = model or GuidedDepthNet()
     fn = jax.jit(
-        lambda v, r, d: model.apply(v, r, d, r, d, False)[0][-1]
+        lambda v, r, d: model.apply(v, r, d, None, None, False)[0][-1]
     )
 
     def predict(batch):

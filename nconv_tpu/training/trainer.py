@@ -56,16 +56,13 @@ class UnguidedTask:
         return None
 
     def _forward(self, variables, depth):
-        if self.two_stream:
-            stacked = jnp.concatenate([depth, depth], axis=0)
-            pred, _ = self.model.apply(variables, stacked)
-            # reference slices estimated_depth[0::2] (void_train_step1.py);
-            # here both streams carry the SAME tensor, so pred[:B] and the
-            # literal [0::2] select numerically identical rows for any B
-            # (for B>1 they index different rows of the [d; d] stack — that
-            # only matters if the streams ever diverge, which the reference
-            # never does: its deployed training uses b=1 identical streams)
-            return pred[: depth.shape[0]]
+        # two_stream semantics: the reference duplicates the batch through
+        # the shared network and slices estimated_depth[0::2]
+        # (void_train_step1.py) — but both streams carry the SAME tensor,
+        # so stream 0's rows equal the single-stream forward exactly (the
+        # step-1 net has no batch-coupled ops). The duplicate half is
+        # therefore never computed; two_stream and single-stream training
+        # produce identical losses/gradients, at half / full cost.
         pred, _ = self.model.apply(variables, depth)
         return pred
 
@@ -127,13 +124,19 @@ class GuidedTask:
         return label
 
     def loss(self, variables, batch, *, train: bool, cfg: TrainConfig):
+        # The reference feeds the SAME (rgb, depth) into both streams and
+        # the loss reads stream 0 only (train_step2.py:62-64), so the
+        # duplicated stream-1 half of the batch is exact dead compute — the
+        # single-stream form (rgb1=depth1=None) is bit-equivalent (see
+        # GuidedDepthNet.__call__) and halves the backbone cost of every
+        # train and validation step.
         rgb, d = batch["rgb"], batch["depth"]
         if train:
             (s0, _), mutated = self.model.apply(
-                variables, rgb, d, rgb, d, True, mutable=["batch_stats"]
+                variables, rgb, d, None, None, True, mutable=["batch_stats"]
             )
         else:
-            s0, _ = self.model.apply(variables, rgb, d, rgb, d, False)
+            s0, _ = self.model.apply(variables, rgb, d, None, None, False)
             mutated = {}
         loss = multi_resolution_loss(
             s0,
@@ -145,7 +148,7 @@ class GuidedTask:
 
     def predict(self, variables, batch):
         rgb, d = batch["rgb"], batch["depth"]
-        s0, _ = self.model.apply(variables, rgb, d, rgb, d, False)
+        s0, _ = self.model.apply(variables, rgb, d, None, None, False)
         return s0[-1]
 
 

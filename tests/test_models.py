@@ -347,3 +347,76 @@ def test_unguided_geometry_policy():
         jnp.ones((1, 52, 68, 1)),
     )
     assert d.shape == (1, 52, 68, 1) and c.shape == (1, 52, 68, 1)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_single_stream_training_form_is_exact(backend):
+    """The reference trains with BOTH streams fed the same (rgb, depth)
+    (train_step2.py:62) and a loss that reads stream 0 only — so the
+    single-stream form (rgb1=depth1=None) must reproduce the duplicated
+    two-stream form exactly: scales, batch-stats updates, loss, and
+    gradients. (BatchNorm stats over [x; x] equal those over x.)"""
+    from nconv_tpu.losses import multi_resolution_loss
+
+    if backend == "pallas":
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+
+    rng = np.random.default_rng(3)
+    h, w = 48, 64
+    b = 2  # >1: the duplicated stack's halves are NOT interleaved rows
+    rgb = jnp.asarray(rng.random((b, h, w, 3)).astype(np.float32))
+    truth = np.fromfunction(
+        lambda n, i, j, c: 2 + np.sin(i / 10) + np.cos(j / 12), (b, h, w, 1)
+    ).astype(np.float32)
+    d = jnp.asarray(truth * (rng.random((b, h, w, 1)) < 0.15))
+    gt = jnp.asarray(truth)
+
+    model = GuidedDepthNet(backend=backend)
+    with ctx:
+        v = model.init(jax.random.key(0), rgb, d, rgb, d)
+
+        def loss_fn(dual):
+            def f(params):
+                args = (rgb, d, rgb, d) if dual else (rgb, d, None, None)
+                (s0, _), mut = model.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    *args, True, mutable=["batch_stats"],
+                )
+                return multi_resolution_loss(s0, gt), (s0, mut)
+
+            return f
+
+        (l2, (s2, mut2)), g2 = jax.value_and_grad(
+            loss_fn(True), has_aux=True
+        )(v["params"])
+        (l1, (s1, mut1)), g1 = jax.value_and_grad(
+            loss_fn(False), has_aux=True
+        )(v["params"])
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b_ in zip(s2, s1):
+        assert b_.shape == a.shape
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-5, atol=1e-6
+        )
+    for a, b_ in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        # equal in exact arithmetic (verified to f64 noise level); the two
+        # forms reduce BN stats over n vs 2n rows, so f32 reduction order
+        # leaves noise proportional to each leaf's gradient scale (conv
+        # biases feeding BN have mathematically-zero grads — pure dust)
+        a, b_ = np.asarray(a), np.asarray(b_)
+        scale = float(np.max(np.abs(a)))
+        np.testing.assert_allclose(b_, a, rtol=0, atol=1e-4 * scale + 1e-7)
+    for a, b_ in zip(
+        jax.tree.leaves(mut2["batch_stats"]),
+        jax.tree.leaves(mut1["batch_stats"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-5, atol=1e-7
+        )
