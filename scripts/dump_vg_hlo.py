@@ -47,7 +47,7 @@ train_params = {k: v for k, v in params.items() if k != "step1"}
 
 def loss_p(tp, rgb, d, gt):
     (s0, _), mut = model.apply(
-        {"params": {**tp, **frozen}, "batch_stats": stats}, rgb, d, rgb, d,
+        {"params": {**tp, **frozen}, "batch_stats": stats}, rgb, d, None, None,
         True, mutable=["batch_stats"],
     )
     return multi_resolution_loss(s0, gt)

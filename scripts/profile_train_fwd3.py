@@ -46,7 +46,7 @@ variables = GuidedDepthNet(backend="pallas", **kw).init(
 if not args.vg:
     fwd = jax.jit(
         lambda v, rgb, d: model.apply(
-            v, rgb, d, rgb, d, True, mutable=["batch_stats"]
+            v, rgb, d, None, None, True, mutable=["batch_stats"]
         )
     )
     prof = profile_fn(lambda: fwd(variables, rgb, d), n_iters=4)
@@ -59,7 +59,7 @@ else:
 
     def loss_p(tp, rgb, d, gt):
         (s0, _), mut = model.apply(
-            {"params": {**tp, **frozen}, "batch_stats": stats}, rgb, d, rgb, d,
+            {"params": {**tp, **frozen}, "batch_stats": stats}, rgb, d, None, None,
             True, mutable=["batch_stats"],
         )
         return multi_resolution_loss(s0, gt)

@@ -74,13 +74,13 @@ variables = {"params": params, "batch_stats": stats}
 
 # 2. forward only, train mode (mutable batch_stats)
 fwd = jax.jit(
-    lambda v, rgb, d: model.apply(v, rgb, d, rgb, d, True, mutable=["batch_stats"])
+    lambda v, rgb, d: model.apply(v, rgb, d, None, None, True, mutable=["batch_stats"])
 )
 timeit("forward (train mode)", fwd, variables, rgb, d)
 
 # 3. forward + loss, fwd only
 def loss_fn(v, rgb, d, gt):
-    (s0, _), mut = model.apply(v, rgb, d, rgb, d, True, mutable=["batch_stats"])
+    (s0, _), mut = model.apply(v, rgb, d, None, None, True, mutable=["batch_stats"])
     return multi_resolution_loss(s0, gt), mut
 
 jl = jax.jit(loss_fn)
@@ -94,7 +94,7 @@ train_params = {k: v for k, v in params.items() if k != "step1"}
 
 def loss_p(tp, rgb, d, gt):
     (s0, _), mut = model.apply(
-        {"params": {**tp, **frozen}, "batch_stats": stats}, rgb, d, rgb, d,
+        {"params": {**tp, **frozen}, "batch_stats": stats}, rgb, d, None, None,
         True, mutable=["batch_stats"],
     )
     return multi_resolution_loss(s0, gt)
