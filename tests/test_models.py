@@ -349,13 +349,42 @@ def test_unguided_geometry_policy():
     assert d.shape == (1, 52, 68, 1) and c.shape == (1, 52, 68, 1)
 
 
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def _single_stream_data(dtype=np.float32):
+    rng = np.random.default_rng(3)
+    h, w = 48, 64
+    b = 2  # >1: the duplicated stack's halves are NOT interleaved rows
+    rgb = jnp.asarray(rng.random((b, h, w, 3)).astype(dtype))
+    truth = np.fromfunction(
+        lambda n, i, j, c: 2 + np.sin(i / 10) + np.cos(j / 12), (b, h, w, 1)
+    ).astype(dtype)
+    d = jnp.asarray(truth * (rng.random((b, h, w, 1)) < 0.15))
+    gt = jnp.asarray(truth)
+    return rgb, d, gt
+
+
+@pytest.mark.parametrize(
+    "backend", ["xla", pytest.param("pallas", marks=pytest.mark.slow)]
+)
 def test_single_stream_training_form_is_exact(backend):
     """The reference trains with BOTH streams fed the same (rgb, depth)
     (train_step2.py:62) and a loss that reads stream 0 only — so the
     single-stream form (rgb1=depth1=None) must reproduce the duplicated
     two-stream form exactly: scales, batch-stats updates, loss, and
-    gradients. (BatchNorm stats over [x; x] equal those over x.)"""
+    gradients. (BatchNorm stats over [x; x] equal those over x.)
+
+    Exactness is pinned in f64 by test_single_stream_training_form_f64
+    (residual measured <= 2e-17, i.e. f64 rounding dust). In f32 the two
+    forms differ only by summation-order noise: BN batch stats reduce over
+    2n rows vs n rows, and that O(eps32) perturbation is amplified through
+    BN conditioning into downstream leaves — so the noise is NOT
+    proportional to each leaf's own scale (the old per-leaf tolerance
+    model, which failed on other machines). Instead the tolerance is
+    self-calibrated: a third, mathematically-identical evaluation — the
+    dual form with the second stream's batch rows permuted (BN sums are
+    permutation-invariant; the loss reads stream 0 only) — measures THIS
+    machine's own reduction-order noise floor N, and we allow 20*N.
+    Measured here: the single-form residual lands exactly AT the floor
+    (ratio 1.00), so the worst leaf sits at 0.05 of the allowance."""
     from nconv_tpu.losses import multi_resolution_loss
 
     if backend == "pallas":
@@ -367,19 +396,88 @@ def test_single_stream_training_form_is_exact(backend):
 
         ctx = contextlib.nullcontext()
 
-    rng = np.random.default_rng(3)
-    h, w = 48, 64
-    b = 2  # >1: the duplicated stack's halves are NOT interleaved rows
-    rgb = jnp.asarray(rng.random((b, h, w, 3)).astype(np.float32))
-    truth = np.fromfunction(
-        lambda n, i, j, c: 2 + np.sin(i / 10) + np.cos(j / 12), (b, h, w, 1)
-    ).astype(np.float32)
-    d = jnp.asarray(truth * (rng.random((b, h, w, 1)) < 0.15))
-    gt = jnp.asarray(truth)
+    rgb, d, gt = _single_stream_data()
+    perm = jnp.asarray([1, 0])
 
     model = GuidedDepthNet(backend=backend)
     with ctx:
         v = model.init(jax.random.key(0), rgb, d, rgb, d)
+
+        def loss_fn(form):
+            def f(params):
+                args = {
+                    "dual": (rgb, d, rgb, d),
+                    "single": (rgb, d, None, None),
+                    # mathematically == dual: BN sums are permutation
+                    # invariant and the loss never reads stream 1
+                    "perm": (rgb, d, rgb[perm], d[perm]),
+                }[form]
+                (s0, _), mut = model.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    *args, True, mutable=["batch_stats"],
+                )
+                return multi_resolution_loss(s0, gt), (s0, mut)
+
+            return f
+
+        (l2, (s2, mut2)), g2 = jax.value_and_grad(
+            loss_fn("dual"), has_aux=True
+        )(v["params"])
+        (l1, (s1, mut1)), g1 = jax.value_and_grad(
+            loss_fn("single"), has_aux=True
+        )(v["params"])
+        (lp, _), gp = jax.value_and_grad(loss_fn("perm"), has_aux=True)(
+            v["params"]
+        )
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(float(lp), float(l2), rtol=1e-6)
+    for a, b_ in zip(s2, s1):
+        assert b_.shape == a.shape
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-5, atol=1e-6
+        )
+    # machine noise floor: max elementwise gap between the two
+    # mathematically-identical dual evaluations, across all leaves
+    floor = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b_))))
+        for a, b_ in zip(jax.tree.leaves(g2), jax.tree.leaves(gp))
+        if np.asarray(a).size
+    )
+    allow = 20.0 * floor + 1e-9
+    for a, b_ in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=0, atol=allow
+        )
+    for a, b_ in zip(
+        jax.tree.leaves(mut2["batch_stats"]),
+        jax.tree.leaves(mut1["batch_stats"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-5, atol=1e-7
+        )
+
+
+@pytest.mark.slow
+def test_single_stream_training_form_f64():
+    """f64 pin of the exactness claim behind the single-stream training
+    form (the round-3 optimization that halved the guided train step):
+    with f64 arithmetic the dual-duplicated and single-stream gradients
+    agree to rounding dust (measured max |Δ| ≈ 1e-17; asserted < 1e-12),
+    proving the f32 gaps seen in the fast variant are pure reduction-order
+    noise, not an asymmetry. Reference: train_step2.py:62-64."""
+    from nconv_tpu.losses import multi_resolution_loss
+
+    with jax.enable_x64():
+        rgb, d, gt = _single_stream_data(np.float64)
+        model = GuidedDepthNet(backend="xla")
+        v = model.init(jax.random.key(0), rgb, d, rgb, d)
+        v = jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            v,
+        )
 
         def loss_fn(dual):
             def f(params):
@@ -392,31 +490,15 @@ def test_single_stream_training_form_is_exact(backend):
 
             return f
 
-        (l2, (s2, mut2)), g2 = jax.value_and_grad(
-            loss_fn(True), has_aux=True
-        )(v["params"])
-        (l1, (s1, mut1)), g1 = jax.value_and_grad(
-            loss_fn(False), has_aux=True
-        )(v["params"])
+        (l2, _), g2 = jax.value_and_grad(loss_fn(True), has_aux=True)(
+            v["params"]
+        )
+        (l1, _), g1 = jax.value_and_grad(loss_fn(False), has_aux=True)(
+            v["params"]
+        )
 
-    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
-    for a, b_ in zip(s2, s1):
-        assert b_.shape == a.shape
-        np.testing.assert_allclose(
-            np.asarray(b_), np.asarray(a), rtol=1e-5, atol=1e-6
-        )
-    for a, b_ in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
-        # equal in exact arithmetic (verified to f64 noise level); the two
-        # forms reduce BN stats over n vs 2n rows, so f32 reduction order
-        # leaves noise proportional to each leaf's gradient scale (conv
-        # biases feeding BN have mathematically-zero grads — pure dust)
-        a, b_ = np.asarray(a), np.asarray(b_)
-        scale = float(np.max(np.abs(a)))
-        np.testing.assert_allclose(b_, a, rtol=0, atol=1e-4 * scale + 1e-7)
-    for a, b_ in zip(
-        jax.tree.leaves(mut2["batch_stats"]),
-        jax.tree.leaves(mut1["batch_stats"]),
-    ):
-        np.testing.assert_allclose(
-            np.asarray(b_), np.asarray(a), rtol=1e-5, atol=1e-7
-        )
+        assert abs(float(l1) - float(l2)) < 1e-12
+        for a, b_ in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), rtol=0, atol=1e-12
+            )
