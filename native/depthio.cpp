@@ -340,4 +340,70 @@ void depthio_encode_depth_wire(const float* depth, uint16_t* out, long n,
   }
 }
 
+// fused single-pass COO depth encode for the streaming wire: scan the float
+// depth map, write (flat_index:int32, value:uint16 = d*scale clipped) pairs
+// for nonzero pixels into caller buffers of element capacity `capacity`, and
+// zero the tail (padding rows must be (0, 0) — the in-graph rasterizer adds
+// them to pixel 0 where they contribute nothing). Returns the TOTAL number
+// of nonzero points seen (callers detect overflow via ret > capacity).
+// Replaces a numpy flatnonzero + fancy-index + clip + two-allocation chain
+// that dominated the COO stream's dispatch thread.
+long depthio_encode_depth_coo(const float* depth, long n, long capacity,
+                              float scale, int32_t* idx_out,
+                              uint16_t* val_out) {
+  long k = 0;
+  for (long i = 0; i < n; ++i) {
+    float d = depth[i];
+    if (d == 0.0f) continue;
+    if (k < capacity) {
+      float v = d * scale;
+      if (v < 0.0f) v = 0.0f;
+      if (v > 65535.0f) v = 65535.0f;
+      idx_out[k] = (int32_t)i;
+      val_out[k] = (uint16_t)v;
+    }
+    ++k;
+  }
+  long fill = k < capacity ? k : capacity;
+  std::memset(idx_out + fill, 0, sizeof(int32_t) * (size_t)(capacity - fill));
+  std::memset(val_out + fill, 0, sizeof(uint16_t) * (size_t)(capacity - fill));
+  return k;
+}
+
+// RGB -> planar YUV420 (BT.601 full-range, 2x2-averaged chroma): the
+// streaming wire's half-size RGB format (1.5 B/px vs 3). Input is HWC uint8
+// with even h, w; outputs are y[h*w], u[h/2*w/2], v[h/2*w/2]. Chroma is
+// computed on the 2x2 mean RGB (not the mean of per-pixel chroma) — same
+// result in exact arithmetic, one conversion per block instead of four.
+void depthio_encode_yuv420(const uint8_t* rgb, int h, int w, uint8_t* y_out,
+                           uint8_t* u_out, uint8_t* v_out) {
+  const int cw = w / 2;
+  for (int yy = 0; yy < h; ++yy) {
+    const uint8_t* row = rgb + (size_t)yy * w * 3;
+    uint8_t* yrow = y_out + (size_t)yy * w;
+    for (int x = 0; x < w; ++x) {
+      const int r = row[3 * x], g = row[3 * x + 1], b = row[3 * x + 2];
+      // integer BT.601 full-range luma, 16-bit fixed point
+      yrow[x] = (uint8_t)((19595 * r + 38470 * g + 7471 * b + 32768) >> 16);
+    }
+  }
+  for (int cy = 0; cy < h / 2; ++cy) {
+    const uint8_t* r0 = rgb + (size_t)(2 * cy) * w * 3;
+    const uint8_t* r1 = r0 + (size_t)w * 3;
+    uint8_t* urow = u_out + (size_t)cy * cw;
+    uint8_t* vrow = v_out + (size_t)cy * cw;
+    for (int cx = 0; cx < cw; ++cx) {
+      const int o = 6 * cx;
+      const int r = r0[o] + r0[o + 3] + r1[o] + r1[o + 3];
+      const int g = r0[o + 1] + r0[o + 4] + r1[o + 1] + r1[o + 4];
+      const int b = r0[o + 2] + r0[o + 5] + r1[o + 2] + r1[o + 5];
+      // sums are 4x the mean; fixed-point coeffs divided accordingly
+      int u = ((-2764 * r - 5428 * g + 8192 * b + 32768) >> 16) + 128;
+      int v = ((8192 * r - 6860 * g - 1332 * b + 32768) >> 16) + 128;
+      urow[cx] = (uint8_t)(u < 0 ? 0 : (u > 255 ? 255 : u));
+      vrow[cx] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+  }
+}
+
 }  // extern "C"

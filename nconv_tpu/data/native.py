@@ -88,6 +88,12 @@ def _load():
         ):
             if hasattr(lib, name):
                 getattr(lib, name).argtypes = args
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        if hasattr(lib, "depthio_encode_depth_coo"):
+            lib.depthio_encode_depth_coo.argtypes = [fp, lg, lg, f, i32p, u16p]
+            lib.depthio_encode_depth_coo.restype = lg
+        if hasattr(lib, "depthio_encode_yuv420"):
+            lib.depthio_encode_yuv420.argtypes = [u8p, i, i, u8p, u8p, u8p]
         _lib = lib
         return _lib
 
@@ -262,3 +268,79 @@ def encode_depth_wire(depth: np.ndarray, scale: float = 256.0) -> np.ndarray:
     out = np.empty(d.shape, np.uint16)
     lib.depthio_encode_depth_wire(d, out, d.size, scale)
     return out
+
+
+def encode_depth_coo(
+    depth: np.ndarray,
+    capacity: int,
+    scale: float = 256.0,
+    out: tuple[np.ndarray, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Single-pass COO encode of a sparse depth map for the streaming wire.
+
+    Returns ``(idx, val, n_nonzero)`` where ``idx`` is ``(1, capacity)``
+    int32 flat indices and ``val`` ``(1, capacity)`` uint16 fixed-point
+    values (``d * scale`` clipped), padding entries zeroed. ``n_nonzero``
+    is the TOTAL nonzero count — larger than ``capacity`` means points were
+    dropped. Pass ``out=(idx, val)`` to reuse buffers across frames.
+    """
+    lib = _load()
+    d = np.ascontiguousarray(depth, np.float32)
+    if out is not None:
+        idx, val = out
+    else:
+        idx = np.empty((1, capacity), np.int32)
+        val = np.empty((1, capacity), np.uint16)
+    if lib is not None and hasattr(lib, "depthio_encode_depth_coo"):
+        n = lib.depthio_encode_depth_coo(
+            d.ravel(), d.size, capacity, scale, idx.reshape(-1), val.reshape(-1)
+        )
+        return idx, val, int(n)
+    flat = d.ravel()
+    nz = np.flatnonzero(flat)
+    n = int(nz.size)
+    keep = nz[:capacity]
+    idx[0, : keep.size] = keep
+    idx[0, keep.size:] = 0
+    np.clip(flat[keep] * scale, 0, 65535, out=val[0, : keep.size])
+    val[0, keep.size:] = 0
+    return idx, val, n
+
+
+def encode_yuv420(
+    rgb: np.ndarray, out: tuple[np.ndarray, ...] | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """HWC uint8 RGB -> planar YUV420 (BT.601 full range, 2x2-mean chroma).
+
+    Returns ``(y, u, v)`` with ``y`` of shape (h, w) and ``u``/``v`` of
+    shape (h/2, w/2), all uint8. h and w must be even. Pass ``out`` to
+    reuse buffers.
+    """
+    a = np.ascontiguousarray(rgb, np.uint8)
+    h, w = a.shape[:2]
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    if out is not None:
+        y, u, v = out
+    else:
+        y = np.empty((h, w), np.uint8)
+        u = np.empty((h // 2, w // 2), np.uint8)
+        v = np.empty((h // 2, w // 2), np.uint8)
+    lib = _load()
+    if lib is not None and hasattr(lib, "depthio_encode_yuv420"):
+        lib.depthio_encode_yuv420(a, h, w, y, u, v)
+        return y, u, v
+    f = a.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    np.clip(0.299 * r + 0.587 * g + 0.114 * b + 0.5, 0, 255, out=f[..., 0])
+    y[:] = f[..., 0].astype(np.uint8)
+    # 2x2 block means, then one chroma conversion per block
+    rm = r.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    gm = g.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    bm = b.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    u[:] = np.clip(
+        -0.168736 * rm - 0.331264 * gm + 0.5 * bm + 128.5, 0, 255
+    ).astype(np.uint8)
+    v[:] = np.clip(
+        0.5 * rm - 0.418688 * gm - 0.081312 * bm + 128.5, 0, 255
+    ).astype(np.uint8)
+    return y, u, v

@@ -76,6 +76,7 @@ class StreamingEngine:
         model: GuidedDepthNet | None = None,
         compute_dtype=jnp.float32,
         rgb_wire_dtype=np.uint8,
+        rgb_wire: str = "dense",  # 'dense' | 'yuv420'
         depth_wire_dtype=np.uint16,
         depth_wire: str = "dense",  # 'dense' | 'coo'
         coo_capacity: int | None = None,
@@ -106,6 +107,16 @@ class StreamingEngine:
         # wire ~1.5x; values are bit-identical to the dense-u16 encoding.
         assert depth_wire in ("dense", "coo"), depth_wire
         self.depth_wire = depth_wire
+        # YUV420 RGB wire: the dense u8 RGB is ~80% of the frame's bytes;
+        # shipping BT.601 4:2:0 planes (1.5 B/px) halves that. Chroma is
+        # 2x2-subsampled (lossy — measure output parity vs the dense wire
+        # before adopting; bench.py reports it); decode back to RGB happens
+        # in-graph, fused into the frame dispatch.
+        assert rgb_wire in ("dense", "yuv420"), rgb_wire
+        if rgb_wire == "yuv420":
+            assert height % 2 == 0 and width % 2 == 0, (height, width)
+            assert np.dtype(rgb_wire_dtype) == np.uint8, "yuv420 wire is uint8"
+        self.rgb_wire = rgb_wire
         self.coo_capacity = (
             coo_capacity if coo_capacity is not None
             else _round_up(height * width // 8, 512)
@@ -133,11 +144,29 @@ class StreamingEngine:
         def forward(variables, rgb0, d0, rgb1, d1):
             # in-graph preprocessing: decode wire dtypes; keeps the whole
             # frame path in one dispatch
-            f = (
-                (lambda x: x)
-                if (pass_int_rgb and jnp.issubdtype(rgb0.dtype, jnp.integer))
-                else (lambda x: x.astype(rgb_dtype))
-            )
+            if self.rgb_wire == "yuv420":
+                def f(planes):
+                    y, u, v = planes
+                    yf = y.astype(rgb_dtype)
+                    # chroma: center, nearest-2x upsample (cheap lane/row
+                    # repeats), BT.601 full-range inverse
+                    uf = u.astype(rgb_dtype) - 128
+                    vf = v.astype(rgb_dtype) - 128
+                    uf = jnp.repeat(jnp.repeat(uf, 2, axis=1), 2, axis=2)
+                    vf = jnp.repeat(jnp.repeat(vf, 2, axis=1), 2, axis=2)
+                    rgb = jnp.stack(
+                        [
+                            yf + 1.402 * vf,
+                            yf - 0.344136 * uf - 0.714136 * vf,
+                            yf + 1.772 * uf,
+                        ],
+                        axis=-1,
+                    )
+                    return jnp.clip(rgb, 0, 255)
+            elif pass_int_rgb and jnp.issubdtype(rgb0.dtype, jnp.integer):
+                f = lambda x: x
+            else:
+                f = lambda x: x.astype(rgb_dtype)
             if self.depth_wire == "coo":
                 def dec(d):
                     idx, val = d
@@ -171,31 +200,35 @@ class StreamingEngine:
             if self.depth_wire == "coo"
             else hw * self.depth_wire_dtype.itemsize
         )
-        return 2 * (hw * 3 * self.rgb_wire_dtype.itemsize + depth_bytes)
+        rgb_bytes = (
+            hw * 3 // 2  # 4:2:0 planes, uint8
+            if self.rgb_wire == "yuv420"
+            else hw * 3 * self.rgb_wire_dtype.itemsize
+        )
+        return 2 * (rgb_bytes + depth_bytes)
 
     def _encode_depth_coo(self, a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        flat = np.asarray(a, np.float32).ravel()
-        nz = np.flatnonzero(flat)
-        if nz.size > self.coo_capacity:
-            # denser than the wire capacity: keep the first `capacity`
-            # points and SAY so (the dense-u16 wire would carry them all)
-            self.coo_dropped_points += nz.size - self.coo_capacity
+        # single C pass (scan + scale + clip + pad-zero); the old
+        # flatnonzero + fancy-index numpy chain was the COO dispatch
+        # thread's dominant cost and made the smaller wire SLOWER than dense
+        from ..data import native
+
+        idx, val, n = native.encode_depth_coo(
+            np.asarray(a, np.float32), self.coo_capacity, self.DEPTH_SCALE
+        )
+        if n > self.coo_capacity:
+            # denser than the wire capacity: the first `capacity` points
+            # were kept — SAY so (the dense-u16 wire would carry them all)
+            self.coo_dropped_points += n - self.coo_capacity
             if not self._coo_warned:
                 self._coo_warned = True
                 warnings.warn(
                     f"COO depth wire capacity {self.coo_capacity} exceeded "
-                    f"({nz.size} nonzero points); excess points are dropped "
+                    f"({n} nonzero points); excess points are dropped "
                     f"— raise coo_capacity or use the dense wire "
-                    f"(depth_wire='u16') for streams this dense",
+                    f"(depth_wire='dense') for streams this dense",
                     stacklevel=3,
                 )
-            nz = nz[: self.coo_capacity]
-        idx = np.zeros((1, self.coo_capacity), np.int32)
-        val = np.zeros((1, self.coo_capacity), np.uint16)
-        idx[0, : nz.size] = nz
-        val[0, : nz.size] = np.clip(
-            flat[nz] * self.DEPTH_SCALE, 0, 65535
-        ).astype(np.uint16)
         return idx, val
 
     def _encode_depth(self, a: np.ndarray) -> np.ndarray:
@@ -208,8 +241,22 @@ class StreamingEngine:
         return a.astype(self.depth_wire_dtype)
 
     def _stage(self, arr: np.ndarray, channels: int):
-        a = np.asarray(arr)
+        a = np.asarray(arr) if not isinstance(arr, tuple) else arr
         if channels == 3:
+            if self.rgb_wire == "yuv420":
+                from ..data import native
+
+                if isinstance(arr, tuple):  # pre-encoded (y, u, v)
+                    y, u, v = arr
+                else:
+                    if a.dtype != np.uint8:
+                        a = np.clip(a, 0, 255).astype(np.uint8)
+                    y, u, v = native.encode_yuv420(a)
+                return (
+                    jax.device_put(y[None], self._sharding),
+                    jax.device_put(u[None], self._sharding),
+                    jax.device_put(v[None], self._sharding),
+                )
             if a.dtype != self.rgb_wire_dtype:
                 a = a.astype(self.rgb_wire_dtype)
         elif self.depth_wire == "coo":
@@ -255,31 +302,58 @@ class StreamingEngine:
         *,
         depth: int = 2,
         sink: Callable[[Any, Any], None] | None = None,
+        stage_ahead: int = 4,
+        stage_workers: int = 2,
     ) -> Iterator[tuple]:
         """Pipelined streaming loop: keeps ``depth`` frames in flight.
 
-        ``frames`` yields (rgb0, d0, rgb1, d1) host tuples. Staging of frame
-        N+1 overlaps compute of frame N (JAX dispatch is async); results are
-        yielded in order.
+        ``frames`` yields (rgb0, d0, rgb1, d1) host tuples. Host encode +
+        H2D staging runs on a background thread pool (``stage_workers``
+        threads, up to ``stage_ahead`` frames staged ahead), so the wire
+        encode of frame N+2 overlaps the H2D of frame N+1 and the device
+        compute of frame N; the dispatch thread only enqueues executions.
+        Results are yielded in order.
         """
-        inflight: list = []
-        for frame in frames:
-            inflight.append(self._fn(
-                self.variables,
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def stage(frame):
+            return (
                 self._stage(frame[0], 3),
                 self._stage(frame[1], 1),
                 self._stage(frame[2], 3),
                 self._stage(frame[3], 1),
-            ))
-            if len(inflight) > depth:
-                out = inflight.pop(0)
-                if sink is not None:
-                    sink(*out)
-                yield out
-        for out in inflight:
-            if sink is not None:
-                sink(*out)
-            yield out
+            )
+
+        pool = ThreadPoolExecutor(max_workers=max(1, stage_workers))
+        try:
+            staged: deque = deque()
+            inflight: deque = deque()
+            it = iter(frames)
+            exhausted = False
+            while True:
+                while not exhausted and len(staged) < stage_ahead:
+                    try:
+                        frame = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    staged.append(pool.submit(stage, frame))
+                if staged:
+                    inflight.append(
+                        self._fn(self.variables, *staged.popleft().result())
+                    )
+                elif not inflight:
+                    break
+                while len(inflight) > depth or (
+                    exhausted and not staged and inflight
+                ):
+                    out = inflight.popleft()
+                    if sink is not None:
+                        sink(*out)
+                    yield out
+        finally:
+            pool.shutdown(wait=False)
 
 
 def _stats_from_latencies(lat: np.ndarray) -> FrameStats:
@@ -399,7 +473,14 @@ def benchmark_throughput(
 ) -> float:
     """Batched multi-stream throughput (frames/s) in bf16 — BASELINE.json
     config #5."""
-    model = model or GuidedDepthNet(dtype=compute_dtype)
+    if model is None:
+        # zero-config callers get the resolved backend (pallas on TPU), not
+        # the XLA-graph trap models.backend exists to kill
+        from ..models import resolve_backend
+
+        model = GuidedDepthNet(
+            backend=resolve_backend("auto"), dtype=compute_dtype
+        )
     rng = np.random.default_rng(0)
     rgb = jnp.asarray(
         rng.random((batch, height, width, 3)).astype(np.float32), compute_dtype

@@ -130,6 +130,77 @@ def test_coo_wire_matches_dense_u16(guided_vars):
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(ref1))
 
 
+def test_streaming_pipeline_background_staging_preserves_order(guided_vars):
+    """run() stages on background threads; distinct frames must come back
+    in order and equal the one-at-a-time results."""
+    engine = StreamingEngine(guided_vars, height=H, width=W)
+    engine.warmup()
+    frames = []
+    for _ in range(6):
+        rgb, d = frame()
+        frames.append((rgb, d, rgb, d))
+    outs = list(engine.run(iter(frames), depth=2, stage_ahead=3))
+    assert len(outs) == 6
+    for f, out in zip(frames, outs):
+        ref0, _ = engine(*f)
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(ref0), rtol=1e-5
+        )
+
+
+def test_coo_encode_c_matches_numpy_fallback():
+    """The C single-pass COO encoder and the numpy fallback emit identical
+    wires, including zeroed padding and capacity overflow."""
+    from nconv_tpu.data import native
+
+    rng = np.random.default_rng(7)
+    d = (rng.random((64, 96)) * 80 * (rng.random((64, 96)) < 0.1)).astype(
+        np.float32
+    )
+    for cap in (2048, 100):  # roomy + overflowing
+        got = native.encode_depth_coo(d, cap)
+        flat = d.ravel()
+        nz = np.flatnonzero(flat)
+        keep = nz[:cap]
+        idx = np.zeros((1, cap), np.int32)
+        val = np.zeros((1, cap), np.uint16)
+        idx[0, : keep.size] = keep
+        val[0, : keep.size] = np.clip(flat[keep] * 256.0, 0, 65535).astype(
+            np.uint16
+        )
+        assert got[2] == nz.size
+        np.testing.assert_array_equal(got[0], idx)
+        np.testing.assert_array_equal(got[1], val)
+
+
+def test_yuv420_wire(guided_vars):
+    """'yuv420' RGB wire: half the RGB bytes; outputs must track the dense
+    wire closely on chroma-smooth frames (4:2:0 is lossy on chroma only)."""
+    dense = StreamingEngine(guided_vars, height=H, width=W)
+    yuv = StreamingEngine(guided_vars, height=H, width=W, rgb_wire="yuv420")
+    assert yuv.wire_bytes_per_frame == 2 * H * W * 7 // 2  # 1.5 + 2 B/px
+    # smooth luma-dominant frame (the realistic case for a camera stream)
+    i, j = np.mgrid[0:H, 0:W].astype(np.float32)
+    rgb = np.stack(
+        [100 + 50 * np.sin(i / 19), 100 + 50 * np.cos(j / 23), 90 + i / 4],
+        axis=-1,
+    ).astype(np.float32)
+    d = (RNG.random((H, W)) * 5 * (RNG.random((H, W)) < 0.1)).astype(np.float32)
+    ref0, _ = dense(rgb, d, rgb, d)
+    out0, _ = yuv(rgb, d, rgb, d)
+    ref0, out0 = np.asarray(ref0, np.float64), np.asarray(out0, np.float64)
+    rel = np.sqrt(np.mean((out0 - ref0) ** 2)) / (
+        np.sqrt(np.mean(ref0**2)) + 1e-12
+    )
+    assert rel < 5e-3, rel
+    # u8 wire path accepts pre-encoded planes too
+    y, u, v = __import__(
+        "nconv_tpu.data.native", fromlist=["native"]
+    ).encode_yuv420(np.clip(rgb, 0, 255).astype(np.uint8))
+    out0b, _ = yuv((y, u, v), d, (y, u, v), d)
+    np.testing.assert_array_equal(np.asarray(out0b), np.asarray(out0))
+
+
 def test_coo_wire_capacity_truncates(guided_vars):
     engine = StreamingEngine(
         guided_vars, height=H, width=W, depth_wire="coo", coo_capacity=64
