@@ -108,6 +108,13 @@ def build_parser() -> argparse.ArgumentParser:
              "for trees converted from a reference checkpoint with "
              "kernel_mode='raw'",
     )
+    pe.add_argument(
+        "--selftest", action="store_true",
+        help="(onnx) validate the artifact after export: always the "
+             "structural wire-format check (contract I/O, opset); when the "
+             "onnxruntime wheel is installed, also EXECUTE it and compare "
+             "against the flax graph (<1e-4 rel RMSE)",
+    )
 
     pb = sub.add_parser("bench", help="FPS/latency benchmark of the guided net")
     pb.add_argument("--height", type=int, default=352)
@@ -452,6 +459,24 @@ def cmd_export(args) -> int:
             f"(opset {s['opset']}, inputs {s['inputs']}, "
             f"outputs {s['outputs']}, {s['total_weight_floats']} weight floats)"
         )
+        if getattr(args, "selftest", False):
+            from .compat import selftest_guided_onnx
+
+            s = selftest_guided_onnx(
+                path, variables,
+                height=args.height, width=args.width,
+                kernel_mode=args.kernel_mode,
+            )
+            if s["ort_checked"]:
+                print(
+                    f"selftest: structure OK; onnxruntime executed, "
+                    f"rel RMSE vs flax {s['ort_rel_rmse']:.3g}"
+                )
+            else:
+                print(
+                    "selftest: structure OK; onnxruntime not installed — "
+                    "numeric execution skipped"
+                )
         return 0
     from .runtime import export_guided, save_exported
 

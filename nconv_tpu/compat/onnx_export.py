@@ -28,7 +28,7 @@ import contextlib
 from collections import Counter
 from typing import Mapping
 
-__all__ = ["export_guided_onnx", "read_onnx_summary"]
+__all__ = ["export_guided_onnx", "read_onnx_summary", "selftest_guided_onnx"]
 
 INPUT_NAMES = ["rgb_0", "depth_0", "rgb_1", "depth_1"]
 OUTPUT_NAMES = ["output_depth_0", "output_depth_1"]
@@ -111,6 +111,98 @@ def export_guided_onnx(
             dynamo=False,
         )
     return path
+
+
+def _usable_onnxruntime():
+    """Import onnxruntime only if it is the real wheel (probed by the
+    attribute the selftest calls), mirroring the ``onnx`` probe above."""
+    try:
+        import onnxruntime
+
+        return onnxruntime if hasattr(onnxruntime, "InferenceSession") else None
+    except ImportError:
+        return None
+
+
+def selftest_guided_onnx(
+    path: str,
+    variables: Mapping | None = None,
+    *,
+    height: int = 480,
+    width: int = 640,
+    kernel_mode: str = "softplus",
+    rel_tol: float = 1e-4,
+) -> dict:
+    """Validate an emitted deployment ONNX artifact.
+
+    Always runs the structural check (wire-format walk: parseable
+    ModelProto, the reference I/O contract, opset 17 — exceeding the
+    reference's own commented-out ``onnx.checker`` call,
+    `/root/reference/export_to_onnx.py:52-54`). When the ``onnxruntime``
+    wheel is present AND ``variables`` are given, additionally EXECUTES the
+    artifact on random frames and compares against the flax
+    ``GuidedDepthNet.export`` outputs (< ``rel_tol`` relative RMSE) — the
+    same consumer-side check the reference's robot runtime implies
+    (`export_to_onnx.py:57-74`).
+
+    Returns the summary dict extended with ``ort_checked`` (bool) and
+    ``ort_rel_rmse`` (float | None). Raises ``AssertionError`` on any
+    violated contract and ``ValueError`` on a malformed file.
+    """
+    summary = read_onnx_summary(path)
+    assert summary["opset"] == OPSET, summary["opset"]
+    assert summary["inputs"] == INPUT_NAMES, summary["inputs"]
+    assert summary["outputs"] == OUTPUT_NAMES, summary["outputs"]
+    assert summary["initializers"] > 0
+
+    summary["ort_checked"] = False
+    summary["ort_rel_rmse"] = None
+    ort = _usable_onnxruntime()
+    if ort is None or variables is None:
+        return summary
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ..models import GuidedDepthNet
+
+    rng = np.random.default_rng(0)
+    rgb = (rng.random((1, 3, height, width)) * 255).astype(np.float32)
+    dep = (
+        rng.random((1, 1, height, width))
+        * 5.0
+        * (rng.random((1, 1, height, width)) < 0.06)
+    ).astype(np.float32)
+
+    sess = ort.InferenceSession(path, providers=["CPUExecutionProvider"])
+    out_ort = sess.run(
+        list(OUTPUT_NAMES),
+        {"rgb_0": rgb, "depth_0": dep, "rgb_1": rgb, "depth_1": dep},
+    )
+
+    pos_fn = "softplus" if kernel_mode == "softplus" else "identity"
+    net = GuidedDepthNet(step1_pos_fn=pos_fn)
+    nhwc = lambda x: jnp.asarray(np.transpose(x, (0, 2, 3, 1)))  # noqa: E731
+    out_j = net.apply(
+        variables, nhwc(rgb), nhwc(dep), nhwc(rgb), nhwc(dep),
+        method=GuidedDepthNet.export,
+    )
+    rel = 0.0
+    for o_ort, o_j in zip(out_ort, out_j):
+        a = np.asarray(o_ort, np.float64)
+        b = np.transpose(np.asarray(o_j, np.float64), (0, 3, 1, 2))
+        rel = max(
+            rel,
+            float(
+                np.sqrt(np.mean((a - b) ** 2))
+                / (np.sqrt(np.mean(b**2)) + 1e-12)
+            ),
+        )
+    summary["ort_checked"] = True
+    summary["ort_rel_rmse"] = rel
+    assert rel < rel_tol, f"ONNX Runtime outputs diverge: rel RMSE {rel}"
+    return summary
 
 
 # ---------------------------------------------------------------------------

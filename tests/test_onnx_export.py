@@ -150,3 +150,44 @@ def test_onnx_artifact_contract(tmp_path, small_variables):
     # fusions, heads); exact count pins accidental graph dupes/drops
     assert ops["Conv"] == 106
     assert ops["ConvTranspose"] == 6
+
+
+def test_onnx_selftest_structure(tmp_path, small_variables):
+    """selftest_guided_onnx always performs the structural validation (and
+    reports whether onnxruntime execution ran — here it depends on the
+    environment's wheels)."""
+    from nconv_tpu.compat import selftest_guided_onnx
+
+    path = str(tmp_path / "guided.onnx")
+    export_guided_onnx(small_variables, path, height=64, width=96)
+    s = selftest_guided_onnx(path, small_variables, height=64, width=96)
+    assert s["opset"] == 17
+    assert isinstance(s["ort_checked"], bool)
+    if s["ort_checked"]:
+        assert s["ort_rel_rmse"] < 1e-4
+    # a truncated file must be rejected
+    with open(path, "rb") as f:
+        data = f.read()
+    bad = str(tmp_path / "bad.onnx")
+    with open(bad, "wb") as f:
+        f.write(data[: len(data) // 2])
+    with pytest.raises(Exception):
+        selftest_guided_onnx(bad)
+
+
+def test_onnx_artifact_executes_under_onnxruntime(tmp_path, small_variables):
+    """EXECUTE the deployment artifact: onnxruntime outputs must match the
+    flax export graph (<1e-4 rel RMSE on both streams).
+
+    Skips where the onnxruntime wheel is absent (this TPU image ships
+    none); runs in any deployment-side environment that has it — the
+    robot-side consumer contract, reference export_to_onnx.py:57-74.
+    """
+    pytest.importorskip("onnxruntime")
+    from nconv_tpu.compat import selftest_guided_onnx
+
+    path = str(tmp_path / "guided.onnx")
+    export_guided_onnx(small_variables, path, height=64, width=96)
+    s = selftest_guided_onnx(path, small_variables, height=64, width=96)
+    assert s["ort_checked"] is True
+    assert s["ort_rel_rmse"] < 1e-4
