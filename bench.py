@@ -107,6 +107,42 @@ def main() -> None:
     except Exception:
         pass
 
+    # compact wire: YUV420 RGB (1.5 B/px, BT.601, lossy chroma) + COO depth
+    # — the smallest frame (~2.2x under dense). Chroma subsampling is the
+    # only loss; its output impact is reported as parity vs the dense-wire
+    # engine on the SAME frames (random-noise RGB = worst case for 4:2:0).
+    yuv_fps = None
+    yuv_parity = None
+    engine_yuv = None
+    try:
+        engine_yuv = StreamingEngine(
+            variables, height=h, width=w, model=model,
+            rgb_wire="yuv420", depth_wire="coo",
+        )
+        engine_yuv.warmup()
+        last = None
+        t0 = time.perf_counter()
+        for out in engine_yuv.run(frames(n_stream), depth=3):
+            last = out
+        _force_complete(last)
+        yuv_fps = n_stream / (time.perf_counter() - t0)
+
+        f0 = next(frames(1))
+        o_dense = engine(*f0)
+        o_yuv = engine_yuv(*f0)
+        relf = jax.jit(
+            lambda a, b: jnp.sqrt(
+                jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+            )
+            / (jnp.sqrt(jnp.mean(b.astype(jnp.float32) ** 2)) + 1e-12)
+        )
+        yuv_parity = max(
+            float(np.asarray(relf(o_yuv[0], o_dense[0]))),
+            float(np.asarray(relf(o_yuv[1], o_dense[1]))),
+        )
+    except Exception:
+        pass
+
     # raw host->HBM wire bandwidth over the tunnel: on axon this is
     # ~40-650 MB/s (variable), which bounds the pipelined stream at
     # bandwidth / wire_bytes_per_frame regardless of device speed — a
@@ -168,6 +204,10 @@ def main() -> None:
         h2d_mb_s = max(
             h2d_mb_s, coo_fps * engine_coo.wire_bytes_per_frame / 1e6
         )
+    if yuv_fps and engine_yuv is not None:
+        h2d_mb_s = max(
+            h2d_mb_s, yuv_fps * engine_yuv.wire_bytes_per_frame / 1e6
+        )
 
     # batched multi-stream bf16 throughput (BASELINE config #5)
     tput_fps = None
@@ -222,6 +262,45 @@ def main() -> None:
     except Exception:
         pass
 
+    # shard_map + Pallas lowering on the real chip: DataParallelEngine's
+    # core claim ("Pallas kernels run as-is per shard", parallel/serving.py)
+    # proven on TPU hardware with a 1-device mesh — outputs must match a
+    # plain jit of the same folded pallas graph on the same f32 inputs.
+    shardmap_rel = None
+    try:
+        from nconv_tpu.models import maybe_fold
+        from nconv_tpu.parallel import DataParallelEngine, make_mesh
+
+        mesh1 = make_mesh(devices=jax.devices()[:1])
+        dpe = DataParallelEngine(
+            variables, height=h, width=w, mesh=mesh1,
+            model=GuidedDepthNet(backend="pallas"),
+        )
+        r0 = np.asarray(rng.random((1, h, w, 3)) * 255, np.float32)
+        dd = np.asarray(
+            rng.random((1, h, w, 1)) * 80 * (rng.random((1, h, w, 1)) < 0.06),
+            np.float32,
+        )
+        o_sm = dpe(r0, dd, r0, dd)
+        ref_model, ref_vars = maybe_fold(
+            GuidedDepthNet(backend="pallas"), variables, True
+        )
+        o_ref = jax.jit(
+            lambda v, r, d_: ref_model.apply(
+                v, r, d_, r, d_, method=GuidedDepthNet.export
+            )
+        )(jax.device_put(ref_vars), jnp.asarray(r0), jnp.asarray(dd))
+        rel = jax.jit(
+            lambda a, b: jnp.sqrt(jnp.mean((a - b) ** 2))
+            / (jnp.sqrt(jnp.mean(b**2)) + 1e-12)
+        )
+        shardmap_rel = max(
+            float(np.asarray(rel(o_sm[0], o_ref[0]))),
+            float(np.asarray(rel(o_sm[1], o_ref[1]))),
+        )
+    except Exception:
+        pass
+
     target_fps = 60.0
     # p50-based: the shared TPU tunnel shows rare multi-frame stalls that
     # poison a mean but not the median
@@ -242,6 +321,16 @@ def main() -> None:
         "stream_fps_pipelined_coo": round(coo_fps, 2) if coo_fps else None,
         "wire_mb_per_frame_coo": (
             round(engine_coo.wire_bytes_per_frame / 1e6, 2) if coo_fps else None
+        ),
+        "stream_fps_pipelined_yuv": round(yuv_fps, 2) if yuv_fps else None,
+        "wire_mb_per_frame_yuv": (
+            round(engine_yuv.wire_bytes_per_frame / 1e6, 2) if yuv_fps else None
+        ),
+        "parity_rel_rmse_yuv": (
+            float(f"{yuv_parity:.3g}") if yuv_parity is not None else None
+        ),
+        "shardmap_pallas_rel": (
+            float(f"{shardmap_rel:.3g}") if shardmap_rel is not None else None
         ),
         # the pipelined stream is tunnel-transport-bound:
         # h2d_mb_per_s / wire_mb_per_frame is its ceiling here
