@@ -316,14 +316,11 @@ class Trainer:
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
             # ---- validation (eval mode + no grads — fixes the reference's
-            # step-2 validation bug, utils.py:74-93)
+            # step-2 validation bug, utils.py:74-93); staged ahead like the
+            # train sweep so H2D overlaps the current batch's eval
             val_losses = [
-                float(
-                    self._eval_step(
-                        state["params"], state["batch_stats"], self._device_batch(b)
-                    )
-                )
-                for b in val_loader()
+                float(self._eval_step(state["params"], state["batch_stats"], b))
+                for b in prefetch_to_device(val_loader(), self._device_batch)
             ]
             val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
 
