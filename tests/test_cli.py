@@ -13,6 +13,7 @@ def test_parser_requires_subcommand():
         build_parser().parse_args([])
 
 
+@pytest.mark.slow
 def test_train_step1_synthetic_and_export(tmp_path, capsys):
     ckdir = str(tmp_path / "ck")
     rc = main(
@@ -176,6 +177,7 @@ def test_infer_command(tmp_path, capsys):
     assert dense.shape == (96, 128) and np.isfinite(dense).all()
 
 
+@pytest.mark.slow
 def test_bench_train_mode(capsys):
     from nconv_tpu.cli import main
 

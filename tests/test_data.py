@@ -418,6 +418,7 @@ def test_kitti_test_dataset_and_eval_cli(kitti_eval_root, tmp_path, capsys):
     assert "rmse" in out and np.isfinite(out["rmse"])
 
 
+@pytest.mark.slow
 def test_infer_cli_kitti_test_dataset(kitti_eval_root, tmp_path, capsys):
     """`infer --dataset kitti_test` densifies the gt-less submission split
     end-to-end (reference workflow: produce maps for the KITTI server from

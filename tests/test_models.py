@@ -147,6 +147,7 @@ def test_guided_train_mode_updates_batch_stats(guided_inputs):
     assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new))
 
 
+@pytest.mark.slow
 def test_guided_step1_frozen_gradients(guided_inputs):
     """stop_gradient on the step-1 output: grads w.r.t. step1 params are 0."""
     rgb, d = guided_inputs
@@ -202,6 +203,7 @@ def test_fold_batchnorm_exact_equivalence():
     )
 
 
+@pytest.mark.slow
 def test_full_bhcw_pallas_graph_matches_xla():
     """backend='pallas' + fold_bn=True runs the whole guided graph in
     (B,H,C,W) — fused RGBEncoder blocks (stride-2 via space-to-depth),
@@ -236,6 +238,7 @@ def test_full_bhcw_pallas_graph_matches_xla():
     )
 
 
+@pytest.mark.slow
 def test_mixed_precision_engine_parity():
     """The headline mixed-precision schedule (bf16 feature convs, f32
     unguided densifier + depth path, BN folded) must stay inside the
@@ -276,6 +279,7 @@ def test_mixed_precision_engine_parity():
     assert rel < 1e-3, rel
 
 
+@pytest.mark.slow
 def test_bhcw_training_graph_matches_xla():
     """backend='pallas' WITHOUT fold_bn is the plain-BHCW *training* graph
     (stride-2 encoders via differentiable space-to-depth, phased transpose

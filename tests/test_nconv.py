@@ -173,6 +173,7 @@ def test_pallas_unguided_unet_matches_xla_interpret():
     np.testing.assert_allclose(np.asarray(cp), np.asarray(cx), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_nconv_grads_match_xla():
     """backend='pallas' is trainable: custom_vjp gives the same gradients as
     the XLA formulation (reference training loop, train_step1.py:61-65)."""

@@ -57,6 +57,7 @@ def test_pad_batch_to():
     assert (padded["x"][5:] == 0).all()
 
 
+@pytest.mark.slow
 def test_data_parallel_grads_match_single_device():
     """Loss + grads on an 8-way sharded batch must equal the single-device
     result (XLA inserts the psum; checkpoint stays replica-free)."""
@@ -81,6 +82,7 @@ def test_data_parallel_grads_match_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_on_multi_device_mesh():
     """Full trainer epoch with batch=8 sharded over 8 devices."""
     mesh = parallel.make_mesh()

@@ -149,6 +149,130 @@ def test_guided_two_streams_differ_and_share_weights():
 
 
 # ---------------------------------------------------------------------------
+# Training-side parity: gradients and convergence vs the torch harness.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_guided_train_grad_parity_vs_torch():
+    """Model-level dL/dθ parity vs torch autograd through the patched
+    reference SETP2_BP_TRAIN + calculate_loss_multi_resolution, at the
+    reference's native 480x640 in train mode (batch-stats BN), from
+    identical converted weights.
+
+    Tolerances are derived from a measured f64 decomposition (see
+    scripts/grad_parity_deep.py): re-running OUR graph in f64 shows that
+    for EVERY leaf, ||ours_f32 - torch_f32|| <= 1.00 x
+    (||ours_f32 - ours_f64|| + ||torch_f32 - ours_f64||) — the gap is
+    entirely both sides' own f32 rounding around the common f64 value
+    (and torch's rounding noise dominates ours by ~10^3). Measured worst
+    cases: elementwise gap 4.5e-5 of the global max |g|; per-leaf norm
+    rel 8.6e-4 (leaves with norm >= 1% of the largest). A uniform 1e-4
+    rel-per-leaf bar is NOT achievable in f32 — conv biases feeding BN
+    have mathematically-zero gradients (pure rounding dust on both
+    sides), and small leaves sit at the amplified-noise floor."""
+    import jax
+
+    from nconv_tpu.compat.torch_convert import _flatten
+    from nconv_tpu.losses import multi_resolution_loss
+    from convergence_harness import build_torch_side
+
+    model_t, ref_loss, sd0 = build_torch_side(seed=11)
+
+    h, w = 480, 640
+    rng = np.random.default_rng(11)
+    rgb = rng.random((1, 3, h, w)).astype(np.float32)
+    truth = np.fromfunction(
+        lambda n, c, i, j: 2 + np.sin(i / 17) + np.cos(j / 23), (1, 1, h, w)
+    ).astype(np.float32)
+    d = (truth * (rng.random((1, 1, h, w)) < 0.05)).astype(np.float32)
+    gt_nchw = (truth * (rng.random((1, 1, h, w)) < 0.8)).astype(np.float32)
+
+    # --- torch forward/backward (train mode; EnforcePos projects step-1
+    # kernels pre-conv, matching our pos_fn='softplus' over the raw sd)
+    est0, _ = model_t(
+        torch.tensor(rgb), torch.tensor(d), torch.tensor(rgb), torch.tensor(d)
+    )
+    loss_t = ref_loss(est0, torch.tensor(gt_nchw))
+    loss_t.backward()
+    grads_t = {
+        k: p.grad.detach().clone()
+        for k, p in model_t.named_parameters()
+        if p.grad is not None
+    }
+
+    # --- our forward/backward (xla f32, single-stream exact form,
+    # batch_reduce='first')
+    variables = convert_guided_state_dict(sd0, kernel_mode="raw")
+    model_j = GuidedDepthNet()
+    gt = nhwc(gt_nchw)
+
+    def loss_fn(params):
+        (s0, _), _mut = model_j.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            nhwc(rgb), nhwc(d), None, None, True, mutable=["batch_stats"],
+        )
+        return (
+            multi_resolution_loss(
+                s0, gt, use_gradient_loss=False, batch_reduce="first"
+            ),
+            s0,
+        )
+
+    (loss_j, s0_j), g_j = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+
+    # loss + train-mode forward parity (batch-stats BN path vs torch)
+    lt = float(loss_t.detach())
+    assert abs(float(loss_j) - lt) / abs(lt) < 1e-6
+    for sj, st in zip(s0_j, est0):
+        assert rel_rmse(from_nhwc(sj), st.detach().numpy()) < 1e-5
+
+    theirs = _flatten(
+        convert_guided_state_dict(grads_t, kernel_mode="raw")["params"]
+    )
+    ours = _flatten(g_j)
+    # coverage: torch's trainable set == our non-step1 leaves; our frozen
+    # step-1 leaves carry exact zeros (stop_gradient)
+    assert set(theirs) == {p for p in ours if p[0] != "step1"}
+    for p in ours:
+        if p[0] == "step1":
+            assert not np.asarray(ours[p]).any(), p
+
+    gmax = max(float(np.max(np.abs(np.asarray(v)))) for v in theirs.values())
+    nmax = max(float(np.linalg.norm(np.asarray(v))) for v in theirs.values())
+    for path, tg in theirs.items():
+        og = np.asarray(ours[path], np.float64)
+        tg = np.asarray(tg, np.float64)
+        # every element within 2e-4 of the global gradient scale
+        # (measured worst 4.5e-5)
+        assert float(np.max(np.abs(og - tg))) <= 2e-4 * gmax, path
+        # significant leaves additionally within 2e-3 relative norm
+        # (measured worst 8.6e-4)
+        n = float(np.linalg.norm(tg))
+        if n >= 0.01 * nmax:
+            assert float(np.linalg.norm(og - tg)) / n < 2e-3, path
+
+
+@pytest.mark.slow
+def test_training_convergence_tracks_reference():
+    """Side-by-side training from identical converted init on identical
+    synthetic frames with the same AdamW: the loss curves must track and
+    both harnesses must actually converge. 60 steps at 96x128 (the
+    480x640-native graph made geometry-generic by the no-op-at-native
+    step-1 crop patch, see convergence_harness). The full 200-step run is
+    scripts/convergence_vs_torch.py. Measured: rel gap grows ~4e-5/step
+    (f32 trajectories through Adam's normalized updates)."""
+    from convergence_harness import run_comparison
+
+    r = run_comparison(n_steps=60, h=96, w=128)
+    assert r["max_rel_gap"] < 1e-2, r["max_rel_gap"]
+    lt, lj = r["losses_torch"], r["losses_jax"]
+    assert lt[-1] < 0.8 * lt[0], (lt[0], lt[-1])
+    assert lj[-1] < 0.8 * lj[0], (lj[0], lj[-1])
+
+
+# ---------------------------------------------------------------------------
 # Reverse direction: our variables -> reference .pth.tar. The reference's
 # deployment pipeline (export_to_onnx.py) consumes these unchanged, which is
 # the ONNX-deliverable bridge (docs/INTEROP.md).

@@ -186,6 +186,7 @@ def test_guided_training_updates_and_freezes_step1():
     assert any(changed)
 
 
+@pytest.mark.slow
 def test_guided_mixed_precision_training_tracks_f32():
     """bf16 feature convs + f32 depth path / master weights (the CLI's
     --precision bf16): params stay f32, the loss trajectory tracks the
@@ -229,6 +230,7 @@ def test_guided_mixed_precision_training_tracks_f32():
     )
 
 
+@pytest.mark.slow
 def test_guided_pallas_training_runs_step1_aligned():
     """With the pallas backend GuidedTask clones the model with
     step1_aligned=True (the frozen step 1 runs its fast aligned graph);
