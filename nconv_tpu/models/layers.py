@@ -259,6 +259,76 @@ class ConvTranspose(nn.Module):
         )
 
 
+class _ChannelBN(nn.Module):
+    """BatchNorm core with f32 statistics but INPUT-dtype elementwise math.
+
+    flax's ``nn.BatchNorm`` promotes the whole tensor to f32
+    (``force_float32_reductions``), normalizes at f32, and casts back.
+    Here only the per-channel REDUCTIONS accumulate in f32 (mean /
+    mean-of-squares, exactly flax's formulation, upcast fused into the
+    reduce); the per-channel scalars are then cast to ``x.dtype`` so the
+    full-res ``(x - mean) * (rsqrt(var+eps)*scale) + bias`` stays in the
+    input dtype. For f32 inputs every cast is a no-op and the op sequence
+    is flax's exactly, so f32 graphs are bit-identical (pinned in
+    tests/test_models.py::test_batchnorm_bit_exact_vs_flax). On the bf16
+    480x640 guided train step this removes the full-res f32 BN
+    materializations from the compiled graph (456 -> 392 MB of HLO
+    copies); device time is neutral (XLA overlapped them) — the measured
+    training-copy hotspots are the s2d/d2s lane interleaves, see
+    ARCHITECTURE.md.
+
+    Param/stat names and shapes match ``nn.BatchNorm`` (params
+    ``scale``/``bias`` (C,) f32, batch_stats ``mean``/``var`` (C,) f32);
+    callers pass ``name='BatchNorm_0'`` for checkpoint compatibility."""
+
+    axis: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, *, use_running_average: bool):
+        feat = x.shape[self.axis]
+        axis = self.axis % x.ndim
+        red = tuple(i for i in range(x.ndim) if i != axis)
+        bshape = [1] * x.ndim
+        bshape[axis] = feat
+
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # flax _compute_stats: E[x], E[x^2]; var = E[x^2] - E[x]^2.
+            # dtype=f32 reductions fuse the upcast into the reduce — a
+            # shared x.astype(f32) operand feeding both reductions would
+            # materialize a full-res f32 copy per BN site. The square runs
+            # in x.dtype (bf16: ~0.4% elementwise rounding on E[x^2],
+            # inside the bf16 feature path's own noise; f32: exact, so
+            # f32 graphs stay bit-identical to flax).
+            mean = x.mean(red, dtype=jnp.float32)
+            mean2 = (x * x).mean(red, dtype=jnp.float32)
+            var = mean2 - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        dt = x.dtype
+        return (x - mean.astype(dt).reshape(bshape)) * mul.astype(dt).reshape(
+            bshape
+        ) + bias.astype(dt).reshape(bshape)
+
+
 class BatchNorm(nn.Module):
     """torch-default BatchNorm2d (eps=1e-5, momentum 0.1 -> EMA decay 0.9).
 
@@ -271,13 +341,10 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
+        return _ChannelBN(
             axis=2 if self.layout == "bhcw" else -1,
-        )(x)
+            name="BatchNorm_0",
+        )(x, use_running_average=not train)
 
 
 class ConvBlock(nn.Module):

@@ -1157,10 +1157,13 @@ def conv_filtergrad_pallas_bhcw(
     kh: int,
     kw: int,
     padding: int,
+    th: int | None = None,
 ) -> jax.Array:
     """Weight cotangent of a stride-1 BHCW conv: ``x`` (B, H, Cin, W) is the
     saved forward input, ``g`` (B, H_out, Cout, W_out) the output cotangent
-    (ReLU mask already applied). Returns (kh, kw, Cin, Cout) float32."""
+    (ReLU mask already applied). Returns (kh, kw, Cin, Cout) float32.
+
+    ``th`` (tile height) overrides the heuristic — exposed for perf sweeps."""
     b, h, cin, w = x.shape
     _, h_out, cout, w_out = g.shape
     assert h_out == h + 2 * padding - (kh - 1), (h, h_out, kh, padding)
@@ -1170,8 +1173,15 @@ def conv_filtergrad_pallas_bhcw(
         jnp.pad(x, ((0, 0), (0, 0), (0, cin_p - cin), (0, wp - w)))
         if (cin_p != cin or wp != w) else x
     )
-    # N util wants th*cout ~ 128; band over-compute wants small th
-    th = min(max(128 // cout, 1), h_out, 16)
+    if th is None:
+        # Measured optimum (TPU v5e sweep, scripts/profile_train_bwd.py
+        # shapes): dot-N util wants th*cout ~ 256 (512 when the M side is
+        # thin, cin_p <= 8) before band over-compute ((th+kh-1)/th rows
+        # wasted) takes over. The old th*cout~128 target lost up to 2.4x
+        # on small-cin shapes (3x64 w640: 191 -> 79 us).
+        target = 512 if cin_p <= 8 else 256
+        th = min(max(target // cout, 2), h_out, 16)
+    th = min(th, h_out)
     n_tiles = -(-h_out // th)
     wp_g = _round_up(w_out, 128)
     g_p = jnp.pad(

@@ -506,3 +506,55 @@ def test_single_stream_training_form_f64():
             np.testing.assert_allclose(
                 np.asarray(b_), np.asarray(a), rtol=0, atol=1e-12
             )
+
+
+def test_batchnorm_bit_exact_vs_flax():
+    """The custom input-dtype BatchNorm core (models/layers._ChannelBN:
+    f32-accumulated reductions, input-dtype elementwise) is BIT-exact vs
+    flax nn.BatchNorm on f32 inputs — outputs and running-stat updates,
+    both layouts, train and eval."""
+    import flax.linen as nn
+
+    from nconv_tpu.models.layers import BatchNorm
+
+    rng = np.random.default_rng(0)
+    for layout, axis in (("nhwc", -1), ("bhcw", 2)):
+        x = jnp.asarray(rng.standard_normal((2, 12, 8, 16)), jnp.float32)
+        ours = BatchNorm(layout=layout)
+        v = ours.init(jax.random.key(0), x, True)
+        v = jax.tree.map(
+            lambda a: jnp.asarray(rng.standard_normal(a.shape), a.dtype), v
+        )
+        stats = jax.tree.map(jnp.abs, v["batch_stats"]["BatchNorm_0"])
+        v = {"params": v["params"], "batch_stats": {"BatchNorm_0": stats}}
+        v_ref = {"params": v["params"]["BatchNorm_0"], "batch_stats": stats}
+        for train in (True, False):
+            ref = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                axis=axis,
+            )
+            yo, mo = ours.apply(v, x, train, mutable=["batch_stats"])
+            yr, mr = ref.apply(v_ref, x, mutable=["batch_stats"])
+            np.testing.assert_array_equal(np.asarray(yo), np.asarray(yr))
+            if train:
+                for k in ("mean", "var"):
+                    np.testing.assert_array_equal(
+                        np.asarray(mo["batch_stats"]["BatchNorm_0"][k]),
+                        np.asarray(mr["batch_stats"][k]),
+                    )
+    # bf16 input: output stays bf16 (no full-res f32 materialization),
+    # param grads come out f32
+    x16 = jnp.asarray(rng.standard_normal((2, 12, 8, 16)), jnp.bfloat16)
+    m = BatchNorm(layout="bhcw")
+    v = m.init(jax.random.key(0), x16, True)
+    y, _ = m.apply(v, x16, True, mutable=["batch_stats"])
+    assert y.dtype == jnp.bfloat16
+    g = jax.grad(
+        lambda p: jnp.sum(
+            m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x16, True, mutable=["batch_stats"],
+            )[0].astype(jnp.float32)
+        )
+    )(v["params"])
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(g))
