@@ -128,59 +128,70 @@ def main() -> None:
         float(np.asarray(acc))
         return eng.wire_bytes_per_frame * n / (time.perf_counter() - t0) / 1e6
 
-    def stream_with_probes(eng):
-        """(fps, adjacent link MB/s, serialization-bound efficiency).
-
-        The axon relay SERIALIZES H2D with compute (measured: stream rate
-        tracks bytes/link + device time, never the pure-upload rate), so
-        the attainable bound is 1 / (wire_bytes/link + trace_time); eff
-        is the stream's fraction of that bound at the adjacent link rate."""
-        wire4 = [pre_encode(eng, f) for f in frames(4)]
-        before = link_probe(eng, wire4)
-        last = None
-        t0 = time.perf_counter()
-        for out in eng.run(frames(n_stream), depth=3):
-            last = out
-        _force_complete(last)
-        fps = n_stream / (time.perf_counter() - t0)
-        after = link_probe(eng, wire4)
-        link = max(before, after)
-        bound = 1.0 / (
-            eng.wire_bytes_per_frame / (link * 1e6) + 5.7e-3
-        )
-        return fps, link, fps / bound
-
-    stream_fps, link_dense, eff_dense = stream_with_probes(engine)
-
     # COO depth wire: ships (index, value) instead of the 94%-zero dense
     # u16 plane — ~1.5x less wire per frame, same outputs (bit-identical
     # quantization; rasterized in-graph, single-pass C host encode).
-    coo_fps = None
-    eff_coo = None
+    # Compact wire: YUV420 RGB (1.5 B/px, BT.601, lossy chroma) + COO
+    # depth — the smallest frame (~2.2x under dense); chroma subsampling
+    # is the only loss, reported as parity vs the dense-wire engine on
+    # the SAME frames (random-noise RGB = worst case for 4:2:0).
+    #
+    # The wires are measured in INTERLEAVED round-robin segments with
+    # link probes woven between them: the tunnel's rate wanders 2-3x
+    # minute to minute, so back-to-back full runs would compare
+    # different links, not different wires.
+    yuv_parity = None
+    engine_yuv = None
+    engines = {"dense": engine}
     try:
-        engine_coo = StreamingEngine(
+        engines["coo"] = StreamingEngine(
             variables, height=h, width=w, model=model, depth_wire="coo"
         )
-        engine_coo.warmup()
-        coo_fps, _, eff_coo = stream_with_probes(engine_coo)
-    except Exception:
-        pass
-
-    # compact wire: YUV420 RGB (1.5 B/px, BT.601, lossy chroma) + COO depth
-    # — the smallest frame (~2.2x under dense). Chroma subsampling is the
-    # only loss; its output impact is reported as parity vs the dense-wire
-    # engine on the SAME frames (random-noise RGB = worst case for 4:2:0).
-    yuv_fps = None
-    yuv_parity = None
-    eff_yuv = None
-    engine_yuv = None
-    try:
+        engines["coo"].warmup()
         engine_yuv = StreamingEngine(
             variables, height=h, width=w, model=model,
             rgb_wire="yuv420", depth_wire="coo",
         )
         engine_yuv.warmup()
-        yuv_fps, _, eff_yuv = stream_with_probes(engine_yuv)
+        engines["yuv"] = engine_yuv
+    except Exception:
+        pass
+
+    wire4 = {k: [pre_encode(e, f) for f in frames(4)] for k, e in engines.items()}
+    seg, reps = max(10, n_stream // 6), 3
+    t_stream = {k: 0.0 for k in engines}
+    n_done = {k: 0 for k in engines}
+    links = {k: [] for k in engines}
+    for _rep in range(reps):
+        for k, eng in engines.items():
+            links[k].append(link_probe(eng, wire4[k], n=6))
+            last = None
+            t0 = time.perf_counter()
+            for out in eng.run(frames(seg), depth=3):
+                last = out
+            _force_complete(last)
+            t_stream[k] += time.perf_counter() - t0
+            n_done[k] += seg
+
+    def wire_stats(k):
+        """fps + fraction of the relay's serialization bound
+        1/(wire_bytes/link + device_time) — the attainable ceiling here
+        (the relay SERIALIZES H2D with compute: measured, stream rate
+        tracks bytes/link + device time, never the pure-upload rate)."""
+        eng = engines[k]
+        fps = n_done[k] / t_stream[k]
+        link = max(links[k])
+        bound = 1.0 / (eng.wire_bytes_per_frame / (link * 1e6) + 5.7e-3)
+        return fps, link, fps / bound
+
+    stream_fps, link_dense, eff_dense = wire_stats("dense")
+    coo_fps = eff_coo = yuv_fps = eff_yuv = None
+    if "coo" in engines:
+        engine_coo = engines["coo"]
+        coo_fps, _, eff_coo = wire_stats("coo")
+    if "yuv" in engines:
+        yuv_fps, _, eff_yuv = wire_stats("yuv")
+    try:
 
         f0 = next(frames(1))
         o_dense = engine(*f0)
