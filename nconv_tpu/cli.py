@@ -467,16 +467,14 @@ def cmd_export(args) -> int:
                 height=args.height, width=args.width,
                 kernel_mode=args.kernel_mode,
             )
-            if s["ort_checked"]:
+            if s["exec_backend"]:
                 print(
-                    f"selftest: structure OK; onnxruntime executed, "
-                    f"rel RMSE vs flax {s['ort_rel_rmse']:.3g}"
+                    f"selftest: structure OK; executed via "
+                    f"{s['exec_backend']}, rel RMSE vs flax "
+                    f"{s['exec_rel_rmse']:.3g}"
                 )
             else:
-                print(
-                    "selftest: structure OK; onnxruntime not installed — "
-                    "numeric execution skipped"
-                )
+                print("selftest: structure OK (no variables to execute)")
         return 0
     from .runtime import export_guided, save_exported
 

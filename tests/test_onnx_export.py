@@ -153,18 +153,15 @@ def test_onnx_artifact_contract(tmp_path, small_variables):
 
 
 def test_onnx_selftest_structure(tmp_path, small_variables):
-    """selftest_guided_onnx always performs the structural validation (and
-    reports whether onnxruntime execution ran — here it depends on the
-    environment's wheels)."""
+    """selftest_guided_onnx performs the structural validation standalone
+    (variables=None -> no execution) and rejects malformed files."""
     from nconv_tpu.compat import selftest_guided_onnx
 
     path = str(tmp_path / "guided.onnx")
     export_guided_onnx(small_variables, path, height=64, width=96)
-    s = selftest_guided_onnx(path, small_variables, height=64, width=96)
+    s = selftest_guided_onnx(path, height=64, width=96)
     assert s["opset"] == 17
-    assert isinstance(s["ort_checked"], bool)
-    if s["ort_checked"]:
-        assert s["ort_rel_rmse"] < 1e-4
+    assert s["exec_backend"] is None
     # a truncated file must be rejected
     with open(path, "rb") as f:
         data = f.read()
@@ -175,14 +172,52 @@ def test_onnx_selftest_structure(tmp_path, small_variables):
         selftest_guided_onnx(bad)
 
 
-def test_onnx_artifact_executes_under_onnxruntime(tmp_path, small_variables):
-    """EXECUTE the deployment artifact: onnxruntime outputs must match the
-    flax export graph (<1e-4 rel RMSE on both streams).
+@pytest.mark.slow
+def test_onnx_artifact_executes(tmp_path):
+    """EXECUTE the deployment artifact from its serialized bytes and match
+    the flax export graph (<1e-4 rel RMSE on both streams), on NONZERO
+    outputs (128x160 — big enough that the border mask leaves data).
 
-    Skips where the onnxruntime wheel is absent (this TPU image ships
-    none); runs in any deployment-side environment that has it — the
-    robot-side consumer contract, reference export_to_onnx.py:57-74.
-    """
+    Uses onnxruntime where the wheel exists (the robot-side consumer
+    contract, reference export_to_onnx.py:57-74); on this no-wheel TPU
+    image the in-repo interpreter (compat.onnx_exec) runs the ModelProto
+    bytes directly — the artifact itself is executed either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from nconv_tpu.compat import selftest_guided_onnx
+    from nconv_tpu.compat.onnx_exec import run_onnx
+
+    h, w = 128, 160
+    net = GuidedDepthNet()
+    z3 = jnp.zeros((1, h, w, 3))
+    z1 = jnp.zeros((1, h, w, 1))
+    variables = net.init(jax.random.PRNGKey(0), z3, z1, z3, z1)
+    path = str(tmp_path / "guided.onnx")
+    export_guided_onnx(variables, path, height=h, width=w)
+
+    s = selftest_guided_onnx(path, variables, height=h, width=w)
+    assert s["exec_backend"] in ("onnxruntime", "builtin")
+    assert s["exec_rel_rmse"] < 1e-4
+
+    # independent nonzero check straight through the interpreter
+    rng = np.random.default_rng(7)
+    rgb = (rng.random((1, 3, h, w)) * 255).astype(np.float32)
+    truth = np.fromfunction(
+        lambda n, c, i, j: 5 + 3 * np.sin(i / 9) + 2 * np.cos(j / 11),
+        (1, 1, h, w),
+    ).astype(np.float32)
+    d = (truth * (rng.random((1, 1, h, w)) < 0.06)).astype(np.float32)
+    outs = run_onnx(
+        path, {"rgb_0": rgb, "depth_0": d, "rgb_1": rgb, "depth_1": d}
+    )
+    assert float(np.abs(outs[0]).mean()) > 0.1
+
+
+def test_onnx_artifact_executes_under_onnxruntime(tmp_path, small_variables):
+    """Pin that the REAL onnxruntime executes the artifact wherever its
+    wheel exists (skips on this no-wheel TPU image; the builtin-executor
+    test above covers this environment)."""
     pytest.importorskip("onnxruntime")
     from nconv_tpu.compat import selftest_guided_onnx
 
