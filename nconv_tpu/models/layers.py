@@ -306,14 +306,17 @@ class _ChannelBN(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             # flax _compute_stats: E[x], E[x^2]; var = E[x^2] - E[x]^2.
-            # dtype=f32 reductions fuse the upcast into the reduce — a
-            # shared x.astype(f32) operand feeding both reductions would
-            # materialize a full-res f32 copy per BN site. The square runs
-            # in x.dtype (bf16: ~0.4% elementwise rounding on E[x^2],
-            # inside the bf16 feature path's own noise; f32: exact, so
-            # f32 graphs stay bit-identical to flax).
-            mean = x.mean(red, dtype=jnp.float32)
-            mean2 = (x * x).mean(red, dtype=jnp.float32)
+            # Accumulation dtype promotes to AT LEAST f32 (f64 inputs keep
+            # f64 — the f64 exactness tests depend on it); the dtype= form
+            # fuses the upcast into the reduce — a shared x.astype(f32)
+            # operand feeding both reductions would materialize a full-res
+            # f32 copy per BN site. The square runs in x.dtype (bf16:
+            # ~0.4% elementwise rounding on E[x^2], inside the bf16
+            # feature path's own noise; f32/f64: exact, so those graphs
+            # stay bit-identical to flax).
+            acc = jnp.promote_types(x.dtype, jnp.float32)
+            mean = x.mean(red, dtype=acc)
+            mean2 = (x * x).mean(red, dtype=acc)
             var = mean2 - mean * mean
             if not self.is_initializing():
                 ra_mean.value = (
