@@ -406,4 +406,33 @@ void depthio_encode_yuv420(const uint8_t* rgb, int h, int w, uint8_t* y_out,
   }
 }
 
+// RGB -> planar YUV422 (BT.601 full-range, CO-SITED chroma: sampled at the
+// even pixel, not a pair mean — the decoder reconstructs even pixels
+// exactly and midpoint-interpolates odd ones, roughly halving chroma
+// reconstruction error vs box-mean): the 2 B/px wire for streams that need
+// tighter parity than 4:2:0 holds. Input is HWC uint8 with even w; outputs
+// are y[h*w], u[h*w/2], v[h*w/2].
+void depthio_encode_yuv422(const uint8_t* rgb, int h, int w, uint8_t* y_out,
+                           uint8_t* u_out, uint8_t* v_out) {
+  const int cw = w / 2;
+  for (int yy = 0; yy < h; ++yy) {
+    const uint8_t* row = rgb + (size_t)yy * w * 3;
+    uint8_t* yrow = y_out + (size_t)yy * w;
+    uint8_t* urow = u_out + (size_t)yy * cw;
+    uint8_t* vrow = v_out + (size_t)yy * cw;
+    for (int x = 0; x < w; ++x) {
+      const int r = row[3 * x], g = row[3 * x + 1], b = row[3 * x + 2];
+      yrow[x] = (uint8_t)((19595 * r + 38470 * g + 7471 * b + 32768) >> 16);
+    }
+    for (int cx = 0; cx < cw; ++cx) {
+      const int o = 6 * cx;  // even pixel only (co-sited)
+      const int r = row[o], g = row[o + 1], b = row[o + 2];
+      int u = ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128;
+      int v = ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128;
+      urow[cx] = (uint8_t)(u < 0 ? 0 : (u > 255 ? 255 : u));
+      vrow[cx] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+  }
+}
+
 }  // extern "C"

@@ -69,10 +69,11 @@ def _parse_tensor(buf) -> np.ndarray:
     if float_data:
         return np.asarray(float_data, dt).reshape(shape)
     if int_data:
-        a = np.asarray(int_data, np.int64)
-        if data_type == 7 and int_data:  # int64 zig-zag free varints may
-            # carry negatives as 2^64 complements
-            a = a.astype(np.uint64).astype(np.int64)
+        # varint-decoded negatives arrive as Python ints >= 2**63 (2^64
+        # complements); normalize BEFORE np.asarray — int64 would overflow
+        a = np.asarray(
+            [v - (1 << 64) if v >= 1 << 63 else v for v in int_data], np.int64
+        )
         return a.astype(dt).reshape(shape)
     return np.zeros(shape, dt)
 

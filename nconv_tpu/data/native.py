@@ -92,8 +92,9 @@ def _load():
         if hasattr(lib, "depthio_encode_depth_coo"):
             lib.depthio_encode_depth_coo.argtypes = [fp, lg, lg, f, i32p, u16p]
             lib.depthio_encode_depth_coo.restype = lg
-        if hasattr(lib, "depthio_encode_yuv420"):
-            lib.depthio_encode_yuv420.argtypes = [u8p, i, i, u8p, u8p, u8p]
+        for nm in ("depthio_encode_yuv420", "depthio_encode_yuv422"):
+            if hasattr(lib, nm):
+                getattr(lib, nm).argtypes = [u8p, i, i, u8p, u8p, u8p]
         _lib = lib
         return _lib
 
@@ -302,7 +303,9 @@ def encode_depth_coo(
     keep = nz[:capacity]
     idx[0, : keep.size] = keep
     idx[0, keep.size:] = 0
-    np.clip(flat[keep] * scale, 0, 65535, out=val[0, : keep.size])
+    # same truncation as the C encoder: clip in float, then narrow to u16
+    # (np.clip with a u16 `out` raises UFuncTypeError on f32 input)
+    val[0, : keep.size] = np.clip(flat[keep] * scale, 0, 65535).astype(np.uint16)
     val[0, keep.size:] = 0
     return idx, val, n
 
@@ -331,12 +334,50 @@ def encode_yuv420(
         return y, u, v
     f = a.astype(np.float32)
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
-    np.clip(0.299 * r + 0.587 * g + 0.114 * b + 0.5, 0, 255, out=f[..., 0])
-    y[:] = f[..., 0].astype(np.uint8)
+    # luma goes into its own buffer: r/g/b are views of f, so writing the
+    # luma back into f[..., 0] would corrupt r before the chroma means read it
+    y[:] = np.clip(0.299 * r + 0.587 * g + 0.114 * b + 0.5, 0, 255).astype(
+        np.uint8
+    )
     # 2x2 block means, then one chroma conversion per block
     rm = r.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
     gm = g.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
     bm = b.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    u[:] = np.clip(
+        -0.168736 * rm - 0.331264 * gm + 0.5 * bm + 128.5, 0, 255
+    ).astype(np.uint8)
+    v[:] = np.clip(
+        0.5 * rm - 0.418688 * gm - 0.081312 * bm + 128.5, 0, 255
+    ).astype(np.uint8)
+    return y, u, v
+
+
+def encode_yuv422(
+    rgb: np.ndarray, out: tuple[np.ndarray, ...] | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """HWC uint8 RGB -> planar YUV422 (BT.601 full range, CO-SITED chroma:
+    sampled at even pixels — the decoder reconstructs those exactly and
+    midpoint-interpolates odd ones). Returns ``(y, u, v)`` with ``y``
+    (h, w) and ``u``/``v`` (h, w/2), all uint8. w must be even."""
+    a = np.ascontiguousarray(rgb, np.uint8)
+    h, w = a.shape[:2]
+    assert w % 2 == 0, (h, w)
+    if out is not None:
+        y, u, v = out
+    else:
+        y = np.empty((h, w), np.uint8)
+        u = np.empty((h, w // 2), np.uint8)
+        v = np.empty((h, w // 2), np.uint8)
+    lib = _load()
+    if lib is not None and hasattr(lib, "depthio_encode_yuv422"):
+        lib.depthio_encode_yuv422(a, h, w, y, u, v)
+        return y, u, v
+    f = a.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y[:] = np.clip(0.299 * r + 0.587 * g + 0.114 * b + 0.5, 0, 255).astype(
+        np.uint8
+    )
+    rm, gm, bm = r[:, 0::2], g[:, 0::2], b[:, 0::2]
     u[:] = np.clip(
         -0.168736 * rm - 0.331264 * gm + 0.5 * bm + 128.5, 0, 255
     ).astype(np.uint8)

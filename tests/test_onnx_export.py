@@ -50,6 +50,30 @@ def small_variables():
     return net.init(jr.PRNGKey(0), z3, z1, z3, z1)
 
 
+def test_parse_tensor_negative_int64_varints():
+    """Negative int64s in TensorProto.int64_data arrive as 2^64-complement
+    varints; the parser must normalize them BEFORE array construction
+    (np.asarray of a >=2^63 Python int raises OverflowError)."""
+    from nconv_tpu.compat.onnx_exec import _parse_tensor
+
+    def varint(v):
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | (0x80 if v else 0))
+            if not v:
+                return bytes(out)
+
+    # TensorProto: dims=[3] (field 1), data_type=7 int64 (field 2),
+    # int64_data=[-1, 5, -300] as unpacked varints (field 7, wire 0)
+    buf = b"\x08" + varint(3) + b"\x10" + varint(7)
+    for v in (-1, 5, -300):
+        buf += b"\x38" + varint(v & ((1 << 64) - 1))
+    got = _parse_tensor(memoryview(buf))
+    np.testing.assert_array_equal(got, np.asarray([-1, 5, -300], np.int64))
+
+
 def test_mirror_bit_exact_vs_reference():
     """Same state dict -> identical outputs: every mirror op is the exact
     torch primitive the reference modules call, in the same order."""
@@ -212,6 +236,30 @@ def test_onnx_artifact_executes(tmp_path):
         path, {"rgb_0": rgb, "depth_0": d, "rgb_1": rgb, "depth_1": d}
     )
     assert float(np.abs(outs[0]).mean()) > 0.1
+
+
+@pytest.mark.slow
+def test_onnx_artifact_executes_at_deployed_geometry(tmp_path):
+    """EXECUTE the artifact at the geometry the reference DEPLOYS it at —
+    480x640 (export_to_onnx.py:45-47) — end-to-end against the flax export
+    graph (<1e-4 rel RMSE on both streams). Closes the r4 gap: the
+    deployed geometry had only been argued from the 128x160 execution."""
+    import jax
+    import jax.numpy as jnp
+
+    from nconv_tpu.compat import selftest_guided_onnx
+
+    h, w = 480, 640
+    net = GuidedDepthNet()
+    z3 = jnp.zeros((1, h, w, 3))
+    z1 = jnp.zeros((1, h, w, 1))
+    variables = net.init(jax.random.PRNGKey(1), z3, z1, z3, z1)
+    path = str(tmp_path / "guided_full.onnx")
+    export_guided_onnx(variables, path, height=h, width=w)
+
+    s = selftest_guided_onnx(path, variables, height=h, width=w)
+    assert s["exec_backend"] in ("onnxruntime", "builtin")
+    assert s["exec_rel_rmse"] < 1e-4, s["exec_rel_rmse"]
 
 
 def test_onnx_artifact_executes_under_onnxruntime(tmp_path, small_variables):
