@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="train through the two-stream batch-concat form "
              "(reference void_train_step1.py:61-63)",
     )
+    p1.add_argument(
+        "--grid-parallel", action="store_true",
+        help="train all lr x wd grid cells simultaneously: one vmapped "
+             "executable with the cell axis sharded across mesh devices "
+             "(reference trains cells serially, train_step1.py:140-163)",
+    )
 
     p2 = sub.add_parser("train-step2", help="train the RGB-guided fusion net")
     _add_train_common(p2)
@@ -383,10 +389,17 @@ def cmd_train_step1(args) -> int:
         NConvUNet(backend=backend), two_stream=args.two_stream
     )
     if len(args.lr) * len(args.weight_decay) > 1:
-        best, lr, wd = grid_search(
-            task_factory, cfg, grid, train_loader, val_loader,
-            checkpoint_dir=f"{args.checkpoint_dir}/{args.name}_grid",
-        )
+        if getattr(args, "grid_parallel", False):
+            from .training import parallel_grid_search
+
+            best, lr, wd = parallel_grid_search(
+                task_factory, cfg, grid, train_loader, val_loader
+            )
+        else:
+            best, lr, wd = grid_search(
+                task_factory, cfg, grid, train_loader, val_loader,
+                checkpoint_dir=f"{args.checkpoint_dir}/{args.name}_grid",
+            )
         print(f"grid best: lr={lr} wd={wd} val={best.best_val_loss:.4f}")
     else:
         ckpts = CheckpointManager(

@@ -11,6 +11,7 @@ from .optim import (
     get_learning_rate,
     set_learning_rate,
 )
+from .grid_parallel import parallel_grid_search
 from .trainer import FitResult, GuidedTask, Trainer, UnguidedTask, grid_search
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "Trainer",
     "UnguidedTask",
     "grid_search",
+    "parallel_grid_search",
 ]

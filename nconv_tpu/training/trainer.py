@@ -183,7 +183,9 @@ class Trainer:
 
     # -- jitted steps ------------------------------------------------------
 
-    def _build_steps(self):
+    def _make_steps(self):
+        """Raw (unjitted) train/eval step functions — reused by the
+        mesh-parallel grid search, which vmaps them over a cell axis."""
         task, cfg, tx = self.task, self.cfg, self.tx
 
         def train_step(params, batch_stats, opt_state, batch):
@@ -220,6 +222,10 @@ class Trainer:
             loss, _ = task.loss(variables, batch, train=False, cfg=cfg)
             return loss
 
+        return train_step, eval_step
+
+    def _build_steps(self):
+        train_step, eval_step = self._make_steps()
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step)
 

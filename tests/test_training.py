@@ -420,6 +420,61 @@ def test_two_stream_unguided_task_matches_single_stream():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
 
 
+def test_parallel_grid_search_matches_serial(tmp_path):
+    """The vmapped+sharded grid (all cells in one executable, cell axis
+    over the 8-device CPU mesh) must reproduce the serial grid cell for
+    cell: same per-epoch train/val losses, same winner, same plateau LR
+    trajectory. 4 cells x 2 epochs, unguided task. The serial side's
+    per-cell curves come from its own grid_results.json record."""
+    import json
+
+    from nconv_tpu.training import (
+        GridSearchConfig, grid_search, parallel_grid_search,
+    )
+
+    cfg = TrainConfig(
+        epochs=2,
+        batch_size=2,
+        optimizer=OptimizerConfig("adamw", 1e-2, 1e-7),
+        log_every=0,
+    )
+    grid = GridSearchConfig(
+        learning_rates=(1e-2, 1e-3), weight_decays=(1e-7, 1e-2)
+    )
+    tr, va = loader(2), loader(1)
+
+    best_s, lr_s, wd_s = grid_search(
+        UnguidedTask, cfg, grid, tr, va, log_fn=quiet,
+        checkpoint_dir=str(tmp_path / "serial_grid"),
+    )
+    best_p, lr_p, wd_p = parallel_grid_search(
+        UnguidedTask, cfg, grid, tr, va, log_fn=quiet
+    )
+    assert (lr_p, wd_p) == (lr_s, wd_s)
+    np.testing.assert_allclose(
+        best_p.best_val_loss, best_s.best_val_loss, rtol=1e-5
+    )
+    with open(tmp_path / "serial_grid" / "grid_results.json") as f:
+        serial_cells = json.load(f)
+    cells = best_p.history["cells"]
+    assert set(cells) == set(serial_cells) and len(cells) == 4
+    for name, h in cells.items():
+        hs = serial_cells[name]["history"]
+        np.testing.assert_allclose(h["val_loss"], hs["val_loss"], rtol=1e-5)
+        np.testing.assert_allclose(
+            h["train_loss"], hs["train_loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(h["lr"], hs["lr"], rtol=1e-6)
+    # winner's variables match the serial winner's
+    for a, b in zip(
+        jax.tree.leaves(best_p.best_variables),
+        jax.tree.leaves(best_s.best_variables),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_grid_search_resumes_without_retraining(tmp_path):
     from nconv_tpu.training import GridSearchConfig, grid_search
 
