@@ -437,31 +437,26 @@ class Basic2dTrans(nn.Module):
 
     def _train_phased_bhcw(self, x, train: bool):
         """Differentiable phased transpose conv on plain (B,H,C,W): the 4x4
-        s2 p1 transpose conv as a stride-1 Pallas conv with phase-stacked
-        output channels + depth-to-space (both differentiable), then BN+ReLU
-        in BHCW. A list input is a logical channel concat fed to the
-        multi-input kernel (no HBM concat — UpCat's [depth ‖ fusion]).
-        Param/stat tree identical to the NHWC path."""
-        from ..ops.convops import (
-            convtranspose_kernel_phases,
-            depth_to_space_bhcw,
-        )
-        from ..ops.pallas_conv import conv2d_pallas_bhcw, conv2d_pallas_bhcw_cat
+        s2 p1 transpose conv as the phase-aware custom-VJP kernel
+        (ops/pallas_s2.py) whose d2s epilogue emits the full-res output
+        interleaved from the MXU — the XLA depth-to-space (and its reverse
+        in the backward) never runs. A list input is a logical channel
+        concat fed to the multi-input kernel (no HBM concat — UpCat's
+        [depth ‖ fusion]). BN+ReLU in BHCW; param/stat tree identical to
+        the NHWC path."""
+        from ..ops.pallas_s2 import convtranspose2d_s2_pallas_bhcw
 
         kernel, bias = ConvTranspose(
             self.features, use_bias=not self.use_norm, dtype=self.dtype,
         )(x, params_only=True, layout="bhcw")
         parts = list(x) if isinstance(x, (list, tuple)) else None
         dtype = self.dtype or (parts[0] if parts else x).dtype
-        kph = convtranspose_kernel_phases(kernel.astype(dtype))
-        bias4 = None if bias is None else jnp.tile(bias.astype(dtype), 4)
-        if parts is not None:
-            out_ph = conv2d_pallas_bhcw_cat(
-                [p.astype(dtype) for p in parts], kph, bias4, padding=1
-            )
-        else:
-            out_ph = conv2d_pallas_bhcw(x.astype(dtype), kph, bias4, padding=1)
-        out = depth_to_space_bhcw(out_ph, self.features)
+        out = convtranspose2d_s2_pallas_bhcw(
+            [p.astype(dtype) for p in parts] if parts is not None
+            else x.astype(dtype),
+            kernel.astype(dtype),
+            None if bias is None else bias.astype(dtype),
+        )
         if self.use_norm:
             out = BatchNorm(dtype=self.dtype, layout="bhcw")(out, train)
         return nn.relu(out)
@@ -572,25 +567,19 @@ class RGBEncoder(nn.Module):
         return out + shortcut
 
     def _train_bhcw_s2(self, x, train: bool):
-        """Differentiable stride-2 block on plain (B,H,C,W) operands: ONE
-        pad-free space-to-depth feeding main conv and shortcut STACKED on
-        the output channels of a single stride-1 Pallas kernel pass (custom
-        VJP) — one HBM read of the s2d tensor, and the backward runs one
-        transposed conv / filter-grad for the pair instead of two. BN+ReLU
+        """Differentiable stride-2 block on plain (B,H,C,W) operands: the
+        phase-aware custom-VJP pair kernel (ops/pallas_s2.py) consumes the
+        FREE row-pair reshape of x with in-kernel lane decimation — main
+        conv and shortcut stacked on the output channels, one HBM read of
+        x, and NO XLA space-to-depth in either direction (the backward's
+        d_x emerges interleaved from the d2s kernel epilogue, d_w runs the
+        row-pair filter-grad against a lane-dilated cotangent). BN+ReLU
         apply to the main half; the add stays XLA (BN between conv and add
-        rules out the inference path's fused residual epilogue). The
-        aligned-form 2x2 tap grids assume a top/left halo; under symmetric
-        padding=1 the same taps produce one extra output row/col at the
-        END, cropped here (the crop's VJP is a cheap pad). Module order
-        matches the generic path, so the param/stat tree is identical."""
-        from ..ops.convops import (
-            conv_kernel_s2d_aligned,
-            shortcut_kernel_s2d_aligned,
-            space_to_depth_bhcw_even,
-        )
-        from ..ops.pallas_conv import conv2d_pallas_bhcw
+        rules out the inference path's fused residual epilogue). Module
+        order matches the generic path, so the param/stat tree is
+        identical."""
+        from ..ops.pallas_s2 import conv2d_s2_res_pallas_bhcw
 
-        h2, w2 = x.shape[1] // 2, x.shape[3] // 2
         k_main, b_main = Conv(
             self.features, stride=self.stride, dtype=self.dtype,
             backend=self.backend, layout="bhcw",
@@ -601,19 +590,11 @@ class RGBEncoder(nn.Module):
             layout="bhcw",
         )(x, params_only=True)
         dtype = self.dtype or x.dtype
-        xin = space_to_depth_bhcw_even(x.astype(dtype))
         f = self.features
-        kcat = jnp.concatenate(
-            [
-                conv_kernel_s2d_aligned(k_main.astype(dtype)),
-                shortcut_kernel_s2d_aligned(k_short.astype(dtype)),
-            ],
-            -1,
+        y = conv2d_s2_res_pallas_bhcw(
+            x.astype(dtype), k_main.astype(dtype), k_short.astype(dtype),
+            b_main.astype(dtype),
         )
-        bcat = jnp.concatenate(
-            [b_main.astype(dtype), jnp.zeros((f,), dtype)]
-        )
-        y = conv2d_pallas_bhcw(xin, kcat, bcat, padding=1)[:, :h2, :, :w2]
         out, shortcut = y[:, :, :f], y[:, :, f:]
         if not self.fold_bn:
             out = BatchNorm(dtype=self.dtype, layout="bhcw")(out, train)

@@ -292,6 +292,68 @@ def shortcut_kernel_s2_rowpair(kernel: jax.Array) -> jax.Array:
     return out.at[1, 1, :cin].set(kernel[0, 0])
 
 
+def conv_s2_dx_kernel_phases(kernel: jax.Array) -> jax.Array:
+    """3x3 stride-2 pad-1 HWIO kernel -> the (3, 3, cout, 4*cin) phase
+    kernel computing the conv's INPUT gradient as a stride-1 conv over the
+    half-res cotangent g (padding 1) with (py, px, ci)-phase-stacked output
+    channels — consumed by the aligned kernel's ``d2s_channels`` epilogue,
+    so the full-res d_x emerges interleaved with NO XLA scatter.
+
+    Derivation: fwd out[t,s] = sum_{dy,dx} K[dy,dx] x[2t+dy-1, 2s+dx-1], so
+    d_x[2u+py, 2v+px] = sum over the (dy,dx) with matching parity of
+    K[dy,dx]^T g[(2u+py+1-dy)/2, ...]: phase 0 reads g[u] via dy=1; phase 1
+    reads g[u] via dy=2 and g[u+1] via dy=0. In the padded-by-1 stride-1
+    conv y[o] = sum_s K'[s] g[o-1+s], that is tap s=1 (g[o]) and s=2
+    (g[o+1]) — tap s=0 stays zero."""
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3), "s2 dx phase form is for the 3x3/s2 encoders"
+    # phase p: {conv tap s: fwd kernel index d}
+    taps = ({1: 1}, {1: 2, 2: 0})
+    out = jnp.zeros((3, 3, cout, 4 * cin), kernel.dtype)
+    for py in (0, 1):
+        for px in (0, 1):
+            blk = (py * 2 + px) * cin
+            for sy, dy in taps[py].items():
+                for sx, dx in taps[px].items():
+                    out = out.at[sy, sx, :, blk : blk + cin].set(
+                        jnp.transpose(kernel[dy, dx])
+                    )
+    return out
+
+
+def convtranspose_s2_dx_kernel_rowpair(kernel: jax.Array) -> jax.Array:
+    """4x4 s2 p1 HWIO transpose-conv kernel -> the (3, 4, 2*cout, cin)
+    kernel computing the transpose conv's INPUT gradient over the ROW-PAIR
+    view of the full-res cotangent g (a FREE reshape), with full-width kw=4
+    lane taps decimated in-kernel (``lane_stride2``).
+
+    Derivation: d_x[u] = sum_{d=0..3} K[d]^T g[2u+d-1] per axis. Row
+    2u+d-1 lives in pair u-1 (odd block) for d=0, pair u (even/odd) for
+    d=1/2, pair u+1 (even) for d=3 — a kh=3 pair window with pad_top =
+    pad_bottom = 1. Lanes: full-width taps at offsets d-1 (pad_left 1),
+    keep even output lanes."""
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (4, 4), "rowpair dx form is for the 4x4 s2 p1 decoder"
+    # d -> (pair window row sy, block: 0 even / 1 odd)
+    rowmap = {0: (0, 1), 1: (1, 0), 2: (1, 1), 3: (2, 0)}
+    out = jnp.zeros((3, 4, 2 * cout, cin), kernel.dtype)
+    for dy in range(4):
+        sy, blk = rowmap[dy]
+        for dx in range(4):
+            out = out.at[sy, dx, blk * cout : (blk + 1) * cout].set(
+                jnp.transpose(kernel[dy, dx])
+            )
+    return out
+
+
+def lane_dilate2(x: jax.Array) -> jax.Array:
+    """(B, H, C, W) -> (B, H, C, 2W) with x at even lanes, zeros at odd —
+    the zero-dilation that turns a stride-2 filter-grad contraction into
+    the stride-1 contraction the Pallas filtergrad kernel runs."""
+    b, h, c, w = x.shape
+    return jnp.stack([x, jnp.zeros_like(x)], axis=-1).reshape(b, h, c, 2 * w)
+
+
 def conv_kernel_s2d(kernel: jax.Array) -> jax.Array:
     """HWIO stride-2 kernel -> the stride-1 kernel over a space-to-depth
     input: K'[qy, qx, (py, px, ci), co] = K[2qy+py, 2qx+px, ci, co]."""

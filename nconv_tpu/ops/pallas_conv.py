@@ -132,7 +132,7 @@ def _kernel(*refs, kh: int, kw: int,
             pad_left: int, h_in: int, h_out: int, part_cs: tuple,
             part_wps: tuple, aligned_out: bool, d2s_f: int | None = None,
             wp_full: int = 0, s2g: bool = False, wp_acc: int = 0,
-            ws_offs: tuple | None = None):
+            ws_offs: tuple | None = None, exact_sel: bool = False):
     """Grid step = one (batch, H-tile) block on a flattened grid.
 
     The input may be SEVERAL aligned-form HBM refs (a logical channel
@@ -288,17 +288,41 @@ def _kernel(*refs, kh: int, kw: int,
         elif (th // g) % 2 == 0 and win_bytes <= pack_budget:
             n_pack = 2
 
+    def sel_dot(a, s):
+        """Selection matmul (0/1 constant rhs). The MXU's default f32 path
+        is ONE bf16 pass, which would re-round the already-accumulated f32
+        values (~1e-3 pointwise — the conv family's baseline is 'matches
+        XLA default', which rounds only the conv INPUTS). ``exact_sel``
+        (the differentiable training ops) splits the accumulator hi/lo
+        into two bf16-exact passes — exact to ~1e-7 — at 2x the selection
+        dot cost; the inference graphs keep the single fast pass (their
+        parity bar is 1e-3 and the selection dots are on the headline
+        path)."""
+        if exact_sel and a.dtype == f32 and out_ref.dtype == f32:
+            hi = a.astype(jnp.bfloat16).astype(f32)
+            lo = a - hi
+            return lax.dot_general(
+                hi, s, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            ) + lax.dot_general(
+                lo, s, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+        return lax.dot_general(
+            a, s, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
     def finish(h0, acc):
         if s2g:
             # lane-stride-2 decimation: the conv ran at FULL lane width on
             # the row-pair form; keep every second lane via one constant
             # 0/1 gather matmul (Sg[2k, k] = 1, k < w_out — zero columns
-            # blank the pad lanes). Exact for 0/1 weights; for bf16 graphs
-            # acc rounds to bf16 here (one rounding earlier than the
-            # store). The XLA space-to-depth (95 MB at enc2) never runs.
-            acc = lax.dot_general(
-                acc.astype(out_ref.dtype), s2_ref[:, :],
-                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            # blank the pad lanes). For bf16 graphs acc rounds to bf16
+            # here (one rounding earlier than the store). The XLA
+            # space-to-depth (95 MB at enc2) never runs.
+            acc = sel_dot(
+                acc if (
+                    exact_sel and acc.dtype == f32 and out_ref.dtype == f32
+                ) else acc.astype(out_ref.dtype),
+                s2_ref[:, :],
             )
         if residual:
             # dual conv: channels [0:cout_store) are the main conv, the rest
@@ -327,18 +351,18 @@ def _kernel(*refs, kh: int, kw: int,
             # with no masking). Mosaic has no lane-stride stores; the MXU
             # does the interleave instead, and the XLA d2s copy (~74 MB at
             # the fuse2 boundary) never runs.
-            resg = res.reshape(g, cout, wp_out).astype(out_ref.dtype)
+            resg = res.reshape(g, cout, wp_out)
+            if not (
+                exact_sel and resg.dtype == f32 and out_ref.dtype == f32
+            ):
+                resg = resg.astype(out_ref.dtype)
             halves = []
             for ry in range(2):
                 ev = resg[:, ry * 2 * d2s_f : ry * 2 * d2s_f + d2s_f]
                 od = resg[:, ry * 2 * d2s_f + d2s_f : (ry + 1) * 2 * d2s_f]
-                full = lax.dot_general(
-                    ev.reshape(g * d2s_f, wp_out), s2_ref[0],
-                    (((1,), (0,)), ((), ())), preferred_element_type=f32,
-                ) + lax.dot_general(
-                    od.reshape(g * d2s_f, wp_out), s2_ref[1],
-                    (((1,), (0,)), ((), ())), preferred_element_type=f32,
-                )
+                full = sel_dot(
+                    ev.reshape(g * d2s_f, wp_out), s2_ref[0]
+                ) + sel_dot(od.reshape(g * d2s_f, wp_out), s2_ref[1])
                 halves.append(
                     full.reshape(g, 1, d2s_f, wp_full).astype(out_ref.dtype)
                 )
@@ -430,6 +454,7 @@ def _conv_core(
     d2s_channels: int | None = None,
     lane_stride2: bool = False,
     ws_cs: tuple | None = None,
+    exact_sel: bool = False,
 ) -> jax.Array:
     """Shared core. ``parts`` is a list of (B, Hx_i, c_i, wp_i) aligned-form
     arrays forming a logical channel concat — each has data at rows
@@ -579,7 +604,7 @@ def _conv_core(
         pad_top=pad_top, pad_left=pad_left, h_in=h_in, h_out=h_out,
         part_cs=part_cs, part_wps=part_wps, aligned_out=aligned_out,
         d2s_f=d2s_channels, wp_full=wp_full, s2g=lane_stride2, wp_acc=wp_acc,
-        ws_offs=ws_offs,
+        ws_offs=ws_offs, exact_sel=exact_sel,
     )
     extra_ops = []
     if d2s_channels is not None:
@@ -717,10 +742,11 @@ def conv2d_pallas_bhcw_aligned(
     h_in = parts[0].shape[1] if h is None else h
     h_out = h_in + pt + pb - (kh - 1)
     if lane_stride2:
-        # stride-2-in-W form over the row-pair view (conv_kernel_s2_rowpair):
-        # the kw=3 pad-1 lane taps run at FULL width, a gather matmul keeps
-        # even lanes — out[wo] = full_conv[2*wo], wo < w/2
-        assert kw == 3 and pl_ == 1 and w % 2 == 0, (kw, pl_, w)
+        # stride-2-in-W form over the row-pair view (conv_kernel_s2_rowpair,
+        # convtranspose_s2_dx_kernel_rowpair): the pad-1 lane taps run at
+        # FULL width, a gather matmul keeps even lanes — out[wo] =
+        # full_conv[2*wo], wo < w/2 (kw=3 fwd encoders; kw=4 decoder d_x)
+        assert kw in (3, 4) and pl_ == 1 and w % 2 == 0, (kw, pl_, w)
         w_out = w // 2
     else:
         w_out = w + pl_ + pr - (kw - 1)
@@ -1157,16 +1183,24 @@ def conv_filtergrad_pallas_bhcw(
     kh: int,
     kw: int,
     padding: int,
+    pad_top: int | None = None,
     th: int | None = None,
 ) -> jax.Array:
     """Weight cotangent of a stride-1 BHCW conv: ``x`` (B, H, Cin, W) is the
     saved forward input, ``g`` (B, H_out, Cout, W_out) the output cotangent
     (ReLU mask already applied). Returns (kh, kw, Cin, Cout) float32.
 
-    ``th`` (tile height) overrides the heuristic — exposed for perf sweeps."""
+    ``pad_top`` (default ``padding``) allows an asymmetric row window —
+    the implied pad_bottom is ``h_out - h - pad_top + kh - 1`` (the
+    stride-2 rowpair filter-grads use pad_top=1, pad_bottom=0). ``th``
+    (tile height) overrides the heuristic — exposed for perf sweeps."""
     b, h, cin, w = x.shape
     _, h_out, cout, w_out = g.shape
-    assert h_out == h + 2 * padding - (kh - 1), (h, h_out, kh, padding)
+    pad_top = padding if pad_top is None else pad_top
+    pad_bottom = h_out - h - pad_top + kh - 1
+    # any non-negative bottom pad works: the tile windows clamp to real
+    # rows and zero the rest (the 1x1/pad-2 quirk layer has pad_bottom=2)
+    assert pad_bottom >= 0, (h, h_out, kh, pad_top, pad_bottom)
     cin_p = _round_up(cin, 8)
     wp = _round_up(w, 128)
     x_p = (
@@ -1182,6 +1216,24 @@ def conv_filtergrad_pallas_bhcw(
         target = 512 if cin_p <= 8 else 256
         th = min(max(target // cout, 2), h_out, 16)
     th = min(th, h_out)
+    # scoped-VMEM estimate: the double-buffered x window + its f32 reshape /
+    # per-tap slice temporaries dominate. The kh=3/kw=4 stride-2
+    # filter-grads exceed Mosaic's 16 MB default at the heuristic th on
+    # wide-channel shapes; those get the raised limit (and a th clamp under
+    # the raised budget). The TUNED stride-1 filter-grads keep Mosaic's
+    # default compilation — passing a raised limit to them measurably
+    # changes scheduling (32x32 w640 regressed 2x when it was applied
+    # unconditionally).
+    def scoped_est(th_):
+        wp_est = _round_up(w, 128) + 2 * FRONT
+        return (2 + 2 + kw) * (th_ + kh - 1) * cin_p * wp_est * 4
+
+    budget = 14_000_000 * vmem.scale()
+    while th > 2 and scoped_est(th) > budget:
+        th -= 1
+    fg_compiler_params = (
+        vmem.compiler_params() if scoped_est(th) > 12_000_000 else None
+    )
     n_tiles = -(-h_out // th)
     wp_g = _round_up(w_out, 128)
     g_p = jnp.pad(
@@ -1191,7 +1243,7 @@ def conv_filtergrad_pallas_bhcw(
     n_total = b * n_tiles
     kfun = functools.partial(
         _filtergrad_kernel, kh=kh, kw=kw, cin_p=cin_p, cout=cout, th=th,
-        pad_left=padding, pad_top=padding, h_in=h, wp_g=wp_g, wp_in=wp,
+        pad_left=padding, pad_top=pad_top, h_in=h, wp_g=wp_g, wp_in=wp,
         n_tiles=n_tiles, n_total=n_total,
     )
     out = pl.pallas_call(
@@ -1215,6 +1267,7 @@ def conv_filtergrad_pallas_bhcw(
             pltpu.VMEM((2, th + kh - 1, cin_p, wp + 2 * FRONT), x_p.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=fg_compiler_params,
     )(x_p, g_p)
     out = out.reshape(kh, cin_p, kw, cout)
     return jnp.transpose(out, (0, 2, 1, 3))[:, :, :cin]
