@@ -97,6 +97,41 @@ def _bench_training(h: int = 480, w: int = 640) -> dict:
         out[f"train_step_ms_{name}"] = round(
             (time.perf_counter() - t0) / n * 1e3, 2
         )
+    # trace-anchored guided training number: the full train step hangs
+    # jax.profiler over the tunnel, but the value_and_grad graph traces
+    # fine and the optimizer adds ~nothing (measured r4) — this is the
+    # tunnel-independent field to compare round over round (the wall
+    # numbers above moved 17 -> 23 ms same-day with zero code change)
+    try:
+        from nconv_tpu.losses import multi_resolution_loss
+        from nconv_tpu.models import GuidedDepthNet
+        from nconv_tpu.utils import profile_fn
+
+        model = GuidedDepthNet(
+            backend="pallas", dtype=jnp.bfloat16, step1_dtype=jnp.float32
+        )
+        d0 = synth(1)
+        rgb = jnp.asarray(d0["rgb"])
+        dep = jnp.asarray(d0["depth"])
+        gt = jnp.asarray(d0["gt"])
+        variables = model.init(jax.random.key(0), rgb, dep, None, None, True)
+
+        def loss_fn(p):
+            (s0, _), mut = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                rgb, dep, None, None, True, mutable=["batch_stats"],
+            )
+            return multi_resolution_loss(
+                s0, gt, use_gradient_loss=False, batch_reduce="first"
+            ), mut
+
+        vg = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        params = variables["params"]
+        prof = profile_fn(lambda: vg(params), n_iters=3)
+        if prof.ms_per_iter > 0:
+            out["train_vg_trace_ms_guided_bf16"] = round(prof.ms_per_iter, 2)
+    except Exception:
+        pass
     return out
 
 
