@@ -1151,27 +1151,63 @@ def _filtergrad_kernel(x_hbm, g_ref, out_ref, xs, sem, *, kh: int, kw: int,
                 xs[slot, rows_full - zb :]
             )
 
+    f32 = jnp.float32
     a = xs[slot].reshape(rows_full * cin_p, xs.shape[-1])
     g2 = g_ref[0].reshape(th * cout, wp_g)
+    # Band gather (g row j pairs x rows j..j+kh-1). Two forms:
+    #  * sliced: th (cin_p, cout) sub-block slice-adds per tap — cheap
+    #    when tiles are small or the cout lane blocks are 128-aligned;
+    #  * masked fold (th >= 8 with misaligned lane blocks): the per-block
+    #    col offsets j*cout are lane rotations (expensive for small
+    #    cout); instead split the SUBLANE-major dim (free), zero
+    #    everything off the j-block diagonal with one broadcast mask,
+    #    and fold the lane blocks with a tiny selection matmul —
+    #    hi/lo-split into two bf16-exact passes so the f32 band sums
+    #    stay exact. Measured: 32x32 w640 890 -> 344 us/instance; the
+    #    th=4 64x64 shape regressed under the masked form (120 -> 168),
+    #    hence the gate.
+    masked_gather = th >= 8 and (cout % 128) != 0
+    if masked_gather:
+        ji = lax.broadcasted_iota(jnp.int32, (th, 1, th * cout), 0)
+        qi = lax.broadcasted_iota(jnp.int32, (th, 1, th * cout), 2)
+        diag = (qi // cout == ji).astype(f32)
+        rq = lax.broadcasted_iota(jnp.int32, (th * cout, cout), 0)
+        rc = lax.broadcasted_iota(jnp.int32, (th * cout, cout), 1)
+        fold = (rq % cout == rc).astype(f32)
+
+        def fold_blocks(s):
+            hi = s.astype(jnp.bfloat16).astype(f32)
+            lo = s - hi
+            dims = (((1,), (0,)), ((), ()))
+            return lax.dot_general(
+                hi, fold, dims, preferred_element_type=f32
+            ) + lax.dot_general(lo, fold, dims, preferred_element_type=f32)
+
     cols = []
     for dx in range(kw):
         off = FRONT - pad_left + dx
         c = lax.dot_general(
             a[:, off : off + wp_g], g2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=f32,
         )  # ((th+kh-1)*cin_p, th*cout)
-        # band gather: g row j pairs x rows j..j+kh-1
-        rows = []
-        for dy in range(kh):
-            blocks = [
-                c[(j + dy) * cin_p : (j + dy + 1) * cin_p,
-                  j * cout : (j + 1) * cout]
-                for j in range(th)
+        if masked_gather:
+            c3 = c.reshape(rows_full, cin_p, th * cout)
+            rows = [
+                fold_blocks(jnp.sum(c3[dy : dy + th] * diag, axis=0))
+                for dy in range(kh)
             ]
-            s = blocks[0]
-            for bblk in blocks[1:]:
-                s = s + bblk
-            rows.append(s)
+        else:
+            rows = []
+            for dy in range(kh):
+                blocks = [
+                    c[(j + dy) * cin_p : (j + dy + 1) * cin_p,
+                      j * cout : (j + 1) * cout]
+                    for j in range(th)
+                ]
+                s = blocks[0]
+                for bblk in blocks[1:]:
+                    s = s + bblk
+                rows.append(s)
         cols.append(jnp.concatenate(rows, 0) if kh > 1 else rows[0])
     out_ref[...] += jnp.concatenate(cols, 1) if kw > 1 else cols[0]
 
@@ -1248,7 +1284,8 @@ def conv_filtergrad_pallas_bhcw(
     )
     out = pl.pallas_call(
         kfun,
-        name=f"filtergrad{kh}x{kw}_{cin}x{cout}_w{w_out}",
+        name=f"filtergrad{kh}x{kw}_{cin}x{cout}_w{w_out}"
+        + ("_mg" if th >= 8 and cout % 128 else ""),
         grid=(n_total,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x, HBM (halo windows)

@@ -21,8 +21,12 @@ LIMIT_MB = int(os.environ.get("NCONV_VMEM_LIMIT_MB", "96") or 0)
 # Fit-model multiplier. The kernels' scoped-VMEM fit models are calibrated
 # at the 16 MB default and drift a few % at large tiles, so the budgets they
 # enforce must sit WELL below the raised limit — default one notch under.
+# NOTE the env read must use get() with NO default: a default string "0" is
+# truthy, which silently pinned the scale to 0 (disabling every
+# budget-scaled feature — row-group packing, filter-grad tile budgets)
+# until round 5 caught it.
 _BUDGET_SCALE = int(
-    os.environ.get("NCONV_VMEM_BUDGET_SCALE", "0")
+    os.environ.get("NCONV_VMEM_BUDGET_SCALE")
     or (max(1, LIMIT_MB // 16 - 2) if LIMIT_MB else 1)
 )
 
